@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline analytics queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the primary metric:
+end-to-end CDC replay->upsert throughput on a deterministic synthetic change
+log (BASELINE.json `metric`). Scaling evidence across parallelism levels is
+produced by bench_scaling.py (local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cdc_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))
+
+    from nostr_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus)
+
+    from nostr_data_pipeline_spark.operators.analytics import QUERIES
+    from nostr_data_pipeline_spark.operators.dedup import ROWS_ONLY_QUERIES
+
+    headline = [
+        "q1_pricing_summary", "j3_fact_fact_join", "a6_token_trending",
+        "w1_latest_per_key", "w3_lww_state", "a10_percentiles",
+        "a9_pivot_timeline", "c6_json_extract", "dedup_exact",
+        "sim_cosine_topk", "m1_virality_score",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = QUERIES[name][0]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    for name, fn in ROWS_ONLY_QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- primary metric: CDC replay -> upsert throughput ---------------------
+    from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log
+    from nostr_data_pipeline_spark.cdc.replayer import replay_log
+    from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        spec = LogSpec(
+            n_events=cdc_events, n_repos=max(50, cdc_events // 2000),
+            paths_per_repo=50, n_files=32, seed=42,
+        )
+        log_dir = os.path.join(tmp, "log")
+        write_log(log_dir, spec)  # generation excluded from timing
+        table = SnapshotTable(os.path.join(tmp, "tbl"), num_buckets=32)
+        t0 = time.perf_counter()
+        result = replay_log(spark, table, log_dir, n_batches=4,
+                            collect_lineage=False)
+        replay_sec = time.perf_counter() - t0
+        n_delivered = int(cdc_events * (1 + spec.dup_rate)) + len(spec.schema_changes)
+        events_per_sec = n_delivered / replay_sec
+        timings["cdc_replay"] = round(replay_sec, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (analytics + CDC replay->upsert)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "cdc_events_delivered": n_delivered,
+        "cdc_events_per_sec": round(events_per_sec, 1),
+        "cdc_rows_applied": result.rows_applied,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

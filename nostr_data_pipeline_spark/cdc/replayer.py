@@ -1,0 +1,192 @@
+"""Batch change-log replayer: dedup -> LWW -> schema epochs -> guarded MERGE.
+
+Replays a CDC log directory into a SnapshotTable so that the final state
+equals the pure-pandas oracle (content sha256 per row — BASELINE.json
+invariant). The streaming variant lives in
+``nostr_data_pipeline_spark/streaming/replayer.py``; this module is the
+shared core both use.
+
+Pipeline per (micro-)batch — all DataFrame-native:
+1. ``dropDuplicates(event_id)`` (reference in-batch dedup,
+   /root/reference/src/nostr_pipeline/pipeline.py:202-211),
+2. split off ``schema_change`` rows (tiny; driver applies them as metadata
+   commits between seq-epochs — SURVEY §7 "schema-change ordering"),
+3. parse ``extra_json`` into the currently-active evolved columns
+   (``from_json`` to map + cast; JVM-side),
+4. normalize + sha256 the content via the vectorized pandas UDF,
+5. LWW-resolve per (repo, path),
+6. seq-guarded MERGE with tombstoned deletes and exactly-once markers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nostr_data_pipeline_spark.cdc.lww import resolve_lww
+from nostr_data_pipeline_spark.functions.content import content_sha256
+from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("extra_json", T.StringType()),
+        T.StructField("sc_col_name", T.StringType()),
+        T.StructField("sc_col_type", T.StringType()),
+    ]
+)
+
+TARGET_BASE_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("extra_json", T.StringType()),  # raw CDC payload; evolved
+        # columns are projected from it at read time (order-independent schema
+        # evolution — see SnapshotTable docstring)
+        T.StructField("last_seq", T.LongType()),
+        T.StructField("last_event_id", T.StringType()),
+        T.StructField("updated_ts", T.TimestampType()),
+    ]
+)
+
+
+@dataclass
+class ReplayResult:
+    batches: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def rows_applied(self) -> int:
+        return sum(
+            b.get("rows_inserted", 0) + b.get("rows_updated", 0) + b.get("rows_deleted", 0)
+            for b in self.batches
+        )
+
+
+def prepare_batch(batch: DataFrame, table: SnapshotTable,
+                  lww_mode: str = "agg", salt: int = 16) -> DataFrame:
+    """Data rows of one batch -> LWW-resolved rows shaped for MERGE.
+    The raw ``extra_json`` payload travels with the row; evolved columns are
+    virtual (projected at read time), so no parse happens here."""
+    cols = [
+        F.col("repo"), F.col("path"), F.col("commit"), F.col("lang"),
+        F.col("content"),
+        # vectorized pandas UDF: normalize + sha256 (input_hint mandate)
+        F.when(F.col("content").isNotNull(), content_sha256("content")).alias("content_sha256"),
+        F.col("extra_json"),
+        F.col("seq"), F.col("event_id"),
+        F.col("ts").alias("updated_ts"),
+        (F.col("op") == "delete").alias("_deleted"),
+    ]
+    shaped = batch.select(*cols)
+    resolved = resolve_lww(shaped, ("repo", "path"), "seq", "event_id",
+                           mode=lww_mode, salt=salt)
+    return resolved.withColumnRenamed("seq", "last_seq").withColumnRenamed(
+        "event_id", "last_event_id"
+    )
+
+
+def replay_batch(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch: DataFrame,
+    stream_id: str,
+    batch_id: int,
+    lww_mode: str = "agg",
+    salt: int = 16,
+    collect_lineage: bool = True,
+) -> dict[str, Any]:
+    """Apply one micro-batch (data + schema_change rows mixed) exactly once."""
+    m = table.manifest()
+    last = m["commits"].get(stream_id)
+    if last is not None and batch_id <= last:
+        return {"skipped_replay": True, "batch_id": batch_id}
+
+    deduped = batch.dropDuplicates(["event_id"])
+
+    # Schema changes are rare, tiny rows -> driver-side collect is correct &
+    # cheap. Evolution is ORDER-INDEPENDENT (virtual columns guarded by
+    # add_seq, see SnapshotTable.evolve_column), so no seq-epoch splitting is
+    # needed: apply the metadata commits, then merge the whole batch at once.
+    sc = (
+        deduped.filter(F.col("op") == "schema_change")
+        .select("seq", "sc_col_name", "sc_col_type")
+        .collect()
+    )
+    for r in sorted(sc, key=lambda r: r["seq"]):
+        table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
+
+    data = deduped.filter(F.col("op") != "schema_change")
+    resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt)
+    # the resolved batch feeds three consumers (lineage agg, bucket pruning,
+    # the merge join) — cache it so LWW runs once per batch
+    resolved = resolved.persist()
+    try:
+        lineage = None
+        if collect_lineage:
+            lineage = {
+                str(r["_b"]): r["n"]
+                for r in resolved.groupBy(table.bucket_expr().alias("_b"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+        metrics: dict[str, Any] = {"batch_id": batch_id, "schema_changes": len(sc)}
+        metrics.update(
+            table.merge(
+                spark, resolved, stream_id=stream_id, batch_id=batch_id,
+                extra_metrics={"lineage_rows_per_bucket": lineage} if lineage else None,
+            )
+        )
+    finally:
+        resolved.unpersist()
+    return metrics
+
+
+def replay_log(
+    spark: SparkSession,
+    table: SnapshotTable,
+    log_dir: str,
+    stream_id: str = "batch-replay",
+    n_batches: int = 1,
+    lww_mode: str = "agg",
+    salt: int = 16,
+    collect_lineage: bool = True,
+) -> ReplayResult:
+    """Full batch replay of a log directory, optionally split into n_batches
+    seq-range micro-batches (exactly-once per batch)."""
+    if not table.exists():
+        table.create(TARGET_BASE_SCHEMA)
+    log = spark.read.schema(LOG_SCHEMA).parquet(log_dir)
+    result = ReplayResult()
+    if n_batches <= 1:
+        result.batches.append(
+            replay_batch(spark, table, log, stream_id, 0,
+                         lww_mode=lww_mode, salt=salt, collect_lineage=collect_lineage)
+        )
+        return result
+    bounds = log.select(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    step = max(1, (hi - lo + 1) // n_batches)
+    for b in range(n_batches):
+        lo_b = lo + b * step
+        hi_b = hi if b == n_batches - 1 else lo + (b + 1) * step - 1
+        chunk = log.filter((F.col("seq") >= lo_b) & (F.col("seq") <= hi_b))
+        result.batches.append(
+            replay_batch(spark, table, chunk, stream_id, b,
+                         lww_mode=lww_mode, salt=salt, collect_lineage=collect_lineage)
+        )
+    return result

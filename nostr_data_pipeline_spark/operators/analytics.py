@@ -1,0 +1,759 @@
+"""The analytics query surface — SURVEY §2 operator families re-expressed as
+DataFrame plans over the driver testdata tables, each paired with the DuckDB
+oracle SQL the driver uses for the correctness gate.
+
+Every query is a declarative plan: filters/projections push into the parquet
+scan, joins broadcast small dims, aggregations get partial map-side combine,
+top-k plans TakeOrderedAndProject — nothing here would change shape at 100 TB
+except partition counts.
+
+Registry: ``QUERIES[name] = (builder, oracle_sql_or_None)``; builders take
+``(spark, sf_dir)`` and return a DataFrame whose column names match the SQL
+aliases exactly (driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and")
+# CJK/kana/hangul ranges as literal characters (DuckDB RE2 rejects \u escapes)
+_ZH = "一-鿿"
+_JA = "぀-ヿ"
+_KO = "가-힯"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """A3/A4/A5 headline: grouped multi-aggregate with partial map-side combine
+    (reference shape: dashboard/pages/6_Zaps.py:191-203 sender aggregates)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def f1_filter_topk(spark, sf_dir):
+    """F1 equality+range filter -> O1 top-k (TakeOrderedAndProject, no full
+    sort; reference: analytics/query.py:37-43 get_top_zapped_content)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+F1_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def f2_substring_search(spark, sf_dir):
+    """F2: content substring search (reference analytics/query.py:326-342)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").contains("merge"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+F2_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE contains(text, 'merge') ORDER BY doc_id
+"""
+
+
+def f7_set_membership(spark, sf_dir):
+    """F7: isin filter + per-kind counts (reference event_processor.py:142)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+F7_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def w1_latest_per_key(spark, sf_dir):
+    """W1/J1: latest-row-per-key via row_number window — replaces the
+    reference's groupBy-max self-join (analytics/query.py:195-215)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+W1_SQL = """
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def w2_topk_per_group(spark, sf_dir):
+    """W2: rank-within-group top-k (reference CLI adds ranks client-side,
+    cli.py:140-148)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+W2_SQL = """
+SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk
+"""
+
+
+def w3_lww_state(spark, sf_dir):
+    """W3 (north-rule core shape): last-writer-wins final state per key using
+    the engine's resolver (max_by partial agg — skew-safe, no window sort)."""
+    from nostr_data_pipeline_spark.cdc.lww import resolve_lww
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    res = resolve_lww(e, ("user_id",), seq_col="ts", tie_col="event_id", mode="agg")
+    return res.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id")
+
+
+W3_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def j2_broadcast_dim_join(spark, sf_dir):
+    """J2: dim lookup as broadcast hash join — replaces the reference's N+1
+    point queries (dashboard/pages/4_Users.py:46-55)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region")
+    )
+
+
+J2_SQL = """
+SELECT r_name AS region, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY region
+"""
+
+
+def j3_fact_fact_join(spark, sf_dir):
+    """J3: fact-fact shuffle join + agg — one job instead of the reference's
+    per-event correlated queries (analytics/aggregator.py:110-114)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(15)
+    )
+
+
+J3_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 15
+"""
+
+
+def j5_anti_join(spark, sf_dir):
+    """J5: existence check as left-anti join (the reference probes PKs row by
+    row, loaders/event_loader.py:34-38)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers_without_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+J5_SQL = """
+SELECT c_mktsegment, count(*) AS customers_without_orders
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def a2_count_distinct(spark, sf_dir):
+    """A2: active users = exact distinct per group (approx_count_distinct is
+    the documented 10^10 variant)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("event_type")
+    )
+
+
+A2_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS active_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def a6_token_trending(spark, sf_dir):
+    """A6/A7/C1: explode-aggregate (trending hashtags analogue) with a HAVING
+    filter — replaces the reference's Python defaultdict aggregation
+    (analytics/aggregator.py:222-248)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("mentions"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("mentions") >= 3)
+        .orderBy(F.col("mentions").desc(), F.col("token"))
+        .limit(25)
+    )
+
+
+A6_SQL = """
+SELECT token, count(*) AS mentions, count(DISTINCT source) AS n_sources,
+       count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents)
+GROUP BY token HAVING count(*) >= 3
+ORDER BY mentions DESC, token LIMIT 25
+"""
+
+
+def a8_time_buckets(spark, sf_dir):
+    """A8/C14: hourly time-bucket aggregation (dashboard/pages/6_Zaps.py:136-147)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour")
+    )
+
+
+A8_SQL = """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1 ORDER BY hour
+"""
+
+
+def a9_pivot_timeline(spark, sf_dir):
+    """A9: interval bucket + pivot-by-kind activity timeline — the reference
+    does this in a pure-Python loop (analytics/query.py:272-324)."""
+    e = load(spark, sf_dir, "events")
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    p = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return p.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds]
+    ).orderBy("day")
+
+
+A9_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def a10_percentiles(spark, sf_dir):
+    """A10: exact order statistics in one pass — the reference sorts in Python
+    (analytics/query.py:257-270, metrics_calculator.py:252-287)."""
+    e = load(spark, sf_dir, "events")
+    pct = lambda p: F.expr(f"percentile(value, {p})")  # noqa: E731
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+        F.round(F.avg("value"), 4).alias("mean_v"),
+        F.round(pct(0.25), 4).alias("p25"),
+        F.round(pct(0.5), 4).alias("p50"),
+        F.round(pct(0.75), 4).alias("p75"),
+        F.round(pct(0.95), 4).alias("p95"),
+    ).orderBy("event_type")
+
+
+A10_SQL = """
+SELECT event_type, count(*) AS n,
+       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS mean_v,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def a11_hour_histogram(spark, sf_dir):
+    """A11: hour-of-day histogram (metrics_calculator.py:324-335)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hour_of_day")
+    )
+
+
+A11_SQL = """
+SELECT extract(hour FROM ts) AS hour_of_day, count(*) AS n
+FROM events GROUP BY 1 ORDER BY hour_of_day
+"""
+
+
+def a12_range_buckets(spark, sf_dir):
+    """A12: range bucketing (zap-size categories, dashboard/pages/6_Zaps.py:273-282)."""
+    e = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 5, "small")
+        .when(F.col("value") < 20, "medium")
+        .when(F.col("value") < 50, "large")
+        .otherwise("huge")
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("bucket")
+    )
+
+
+A12_SQL = """
+SELECT CASE WHEN value < 5 THEN 'small' WHEN value < 20 THEN 'medium'
+            WHEN value < 50 THEN 'large' ELSE 'huge' END AS bucket,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
+def a13_argmax(spark, sf_dir):
+    """A13: argmax row per group with deterministic tie-break
+    (most-zapped content, analytics/aggregator.py:349-355)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "user_id"),
+                F.struct(F.col("value"), F.col("event_id")),
+            ).alias("w"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.event_id").alias("top_event_id"),
+            F.col("w.user_id").alias("top_user_id"),
+            "max_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+A13_SQL = """
+SELECT event_type, event_id AS top_event_id, user_id AS top_user_id,
+       round(value, 2) AS max_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def c6_json_extract(spark, sf_dir):
+    """C6: JSON payload parsing, JVM-side (from_json/get_json_object) — the
+    reference json.loads()'s per row (event_processor.py:71-88)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+C6_SQL = """
+SELECT event_type,
+       round(avg(k), 4) AS avg_k, max(k) AS max_k,
+       count(*) FILTER (k > 50) AS n_high
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def c10_language_detect(spark, sf_dir):
+    """C10: unicode-range language heuristic (event_processor.py:299-315)."""
+    d = load(spark, sf_dir, "documents")
+    detected = (
+        F.when(F.col("text").rlike(f"[{_ZH}]"), "zh")
+        .when(F.col("text").rlike(f"[{_JA}]"), "ja")
+        .when(F.col("text").rlike(f"[{_KO}]"), "ko")
+        .otherwise("en")
+    )
+    return (
+        d.groupBy(F.col("lang").alias("labeled_lang"), detected.alias("detected_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled_lang", "detected_lang")
+    )
+
+
+C10_SQL = f"""
+SELECT lang AS labeled_lang,
+       CASE WHEN regexp_matches(text, '[{_ZH}]') THEN 'zh'
+            WHEN regexp_matches(text, '[{_JA}]') THEN 'ja'
+            WHEN regexp_matches(text, '[{_KO}]') THEN 'ko'
+            ELSE 'en' END AS detected_lang,
+       count(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY labeled_lang, detected_lang
+"""
+
+
+def c12_length_stats(spark, sf_dir):
+    """C12: content-length statistics per language (aggregator.py:142-143)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+            F.max(F.length("text")).alias("max_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+C12_SQL = """
+SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_len,
+       max(length(text)) AS max_len
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def m1_virality_score(spark, sf_dir):
+    """M1: virality = weighted engagement * exponential age decay, as a single
+    column expression (metrics_calculator.py:17-58 incl. the age<=0 guard)."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "signup", 1)).alias("n_signup"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("purchase_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    global_max = e.agg(F.max("ts").alias("gmax"))
+    j = per_user.crossJoin(F.broadcast(global_max))
+    epoch = lambda c: F.col(c).cast("timestamp_ltz").cast("double")  # noqa: E731
+    age_h = (epoch("gmax") - epoch("last_ts")) / 3600.0
+    base = (
+        3.0 * F.col("n_purchase")
+        + 0.001 * F.col("purchase_value")
+        + 2.0 * F.col("n_click")
+        + 2.5 * F.col("n_signup")
+        + 1.0 * F.col("n_view")
+    )
+    # age<=0 -> decay 1.0 guard, mirroring metrics_calculator.py:51-54
+    decay = F.when(age_h <= 0, F.lit(1.0)).otherwise(F.exp(-0.1155 * age_h))
+    return (
+        j.select(
+            "user_id",
+            F.round(base * decay, 2).alias("virality"),
+        )
+        .orderBy(F.col("virality").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+M1_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         count(*) FILTER (event_type = 'purchase') AS n_purchase,
+         count(*) FILTER (event_type = 'click') AS n_click,
+         count(*) FILTER (event_type = 'signup') AS n_signup,
+         count(*) FILTER (event_type = 'view') AS n_view,
+         coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0) AS purchase_value,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+), g AS (SELECT max(ts) AS gmax FROM events)
+SELECT user_id,
+       round((3.0*n_purchase + 0.001*purchase_value + 2.0*n_click
+              + 2.5*n_signup + 1.0*n_view)
+             * CASE WHEN age_h <= 0 THEN 1.0 ELSE exp(-0.1155 * age_h) END,
+             2) AS virality
+FROM (
+  SELECT per_user.*, (epoch(gmax) - epoch(last_ts)) / 3600.0 AS age_h
+  FROM per_user, g
+)
+ORDER BY virality DESC, user_id LIMIT 20
+"""
+
+
+def text_quality(spark, sf_dir):
+    """Quality scoring: length + stopword-ratio formula (M5 analogue,
+    metrics_calculator.py:181-226), aggregated per language."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    quality = 0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * stop_ratio
+    return (
+        d.select("lang", quality.alias("q"), n_tokens.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(F.avg("nt"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_QUALITY_SQL = """
+SELECT lang,
+       round(avg(0.5 * least(n_chars, 500) / 500.0 + 0.5 * stop_ratio), 4) AS avg_quality,
+       round(avg(nt), 4) AS avg_tokens
+FROM (
+  SELECT lang, n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   t -> t IN ('the','a','of','and')))
+                   / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio
+  FROM documents
+)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def token_counts(spark, sf_dir):
+    """Token counting (whitespace tokenizer) per document."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+            F.length("text").alias("n_chars_actual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+def fingerprint_sha256(spark, sf_dir):
+    """Document fingerprinting: sha256 over text, JVM-side (sha2); groups
+    exact duplicates. The CDC path uses the pandas-UDF variant with
+    normalization (functions/content.py)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.sha2(F.col("text"), 256).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, sha256(text) AS fingerprint FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keeper = min id (full-width
+    shuffle only on the digest, not the payload, at scale)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS fingerprint, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY sha256(text) ORDER BY keeper_doc_id
+"""
+
+
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a fixed query vector (vec_id=0).
+    Dot product via zip_with/aggregate — JVM-side, no UDF."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        joined.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+SIM_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))),
+             4) AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "f1_filter_topk": (f1_filter_topk, F1_SQL),
+    "f2_substring_search": (f2_substring_search, F2_SQL),
+    "f7_set_membership": (f7_set_membership, F7_SQL),
+    "w1_latest_per_key": (w1_latest_per_key, W1_SQL),
+    "w2_topk_per_group": (w2_topk_per_group, W2_SQL),
+    "w3_lww_state": (w3_lww_state, W3_SQL),
+    "j2_broadcast_dim_join": (j2_broadcast_dim_join, J2_SQL),
+    "j3_fact_fact_join": (j3_fact_fact_join, J3_SQL),
+    "j5_anti_join": (j5_anti_join, J5_SQL),
+    "a2_count_distinct": (a2_count_distinct, A2_SQL),
+    "a6_token_trending": (a6_token_trending, A6_SQL),
+    "a8_time_buckets": (a8_time_buckets, A8_SQL),
+    "a9_pivot_timeline": (a9_pivot_timeline, A9_SQL),
+    "a10_percentiles": (a10_percentiles, A10_SQL),
+    "a11_hour_histogram": (a11_hour_histogram, A11_SQL),
+    "a12_range_buckets": (a12_range_buckets, A12_SQL),
+    "a13_argmax": (a13_argmax, A13_SQL),
+    "c6_json_extract": (c6_json_extract, C6_SQL),
+    "c10_language_detect": (c10_language_detect, C10_SQL),
+    "c12_length_stats": (c12_length_stats, C12_SQL),
+    "m1_virality_score": (m1_virality_score, M1_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "fingerprint_sha256": (fingerprint_sha256, FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
+}

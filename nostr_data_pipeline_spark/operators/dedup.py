@@ -1,0 +1,288 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot-path computation is JVM-side (higher-order array functions +
+xxhash64, whole-stage codegen); no Python UDFs. Designed for the 100 TB
+regime:
+
+- exact dedup: shuffle only a 32-byte digest, not the payload;
+- MinHash+LSH: candidate generation is an equi-join on (band_idx, band_hash)
+  — Catalyst plans a shuffle hash join on a compact key; verification runs
+  only on candidate pairs (a tiny fraction of the cross product);
+- SimHash: 64-bit fingerprint as 4x16-bit chunks; candidates must share one
+  exact chunk (pigeonhole: hamming<=3 over 64 bits guarantees a matching
+  16-bit chunk), verified by bit_count(xor);
+- embedding near-dup: random-hyperplane LSH buckets, exact cosine verify
+  within buckets only.
+
+ANSI note (Spark 4 default): all hashing avoids arithmetic that could
+overflow — seeds are mixed via multi-argument xxhash64, never a*x+b.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# shingling / MinHash
+# ---------------------------------------------------------------------------
+
+def tokenize(text_col) -> F.Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def shingles(text_col, n: int = 3) -> F.Column:
+    """Distinct n-gram (word) shingles as an array<string> column."""
+    toks = tokenize(text_col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 32) -> F.Column:
+    """array<long> of num_hashes min-hashes; seed mixed via xxhash64(seed, s).
+    (Seeds must be bound via a closure factory — a `h=h` default param would
+    flip pyspark's lambda into the (element, index) form.)"""
+
+    def _minhash(h: int) -> F.Column:
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(F.lit(h), s)))
+
+    return F.array(*[_minhash(h) for h in range(num_hashes)])
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id1, id2, jaccard) pairs with estimated-then-verified Jaccard >=
+    threshold. LSH: split the signature into `bands` bands of
+    num_hashes/bands rows; a pair is a candidate iff some band hashes equal."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    banded = base.select(
+        "_id", "_sh",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(b), F.slice(F.col("_sig"), b * rows + 1, rows))
+                for b in range(bands)
+            ])
+        ).alias("_band", "_bhash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bhash") == F.col("r._bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id1"), F.col("r._id").alias("id2"),
+            F.col("l._sh").alias("sh1"), F.col("r._sh").alias("sh2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+        .orderBy(F.col("jaccard").desc(), "id1", "id2")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.3, band_tokens: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over blocked candidate pairs. Blocking key = the
+    first `band_tokens` tokens (cheap prefix blocking); exact verify after."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+        F.concat_ws(" ", F.slice(tokenize(F.col(text_col)), 1, band_tokens)).alias("_blk"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cand = l.join(
+        r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id"))
+    )
+    inter = F.size(F.array_intersect("l._sh", "r._sh")).cast("double")
+    union = F.size(F.array_union("l._sh", "r._sh")).cast("double")
+    return (
+        cand.select(
+            F.col("l._id").alias("id1"), F.col("r._id").alias("id2"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy(F.col("jaccard").desc(), "id1", "id2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_chunks(text_col, chunk_bits: int = 16, n_chunks: int = 4) -> list[F.Column]:
+    """SimHash fingerprint as n_chunks x chunk_bits ints (64 bits total).
+    bit_i = sign of sum over tokens of (+1 if bit_i(hash(token)) else -1)."""
+    toks = F.array_distinct(tokenize(text_col))
+
+    def _vote(i: int):
+        # vote for bit i across tokens; shiftright+bitand are ANSI-safe
+        # (pyspark lambda arity is inspected — no default params allowed)
+        def merge(acc, t):
+            bit = F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return F.aggregate(toks, F.lit(0), merge)
+
+    cols = []
+    for c in range(n_chunks):
+        bits = []
+        for b in range(chunk_bits):
+            i = c * chunk_bits + b
+            vote = _vote(i)
+            bits.append(F.when(vote > 0, F.lit(2 ** b)).otherwise(F.lit(0)))
+        col = bits[0]
+        for x in bits[1:]:
+            col = col + x
+        cols.append(col.cast("int").alias(f"chunk{c}"))
+    return cols
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id1, id2, hamming) for pairs within max_hamming bits of 64. Candidate
+    iff one 16-bit chunk matches exactly (pigeonhole for hamming<=3)."""
+    chunks = simhash_chunks(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), *chunks)
+    banded = base.select(
+        "_id", "chunk0", "chunk1", "chunk2", "chunk3",
+        F.posexplode(F.array("chunk0", "chunk1", "chunk2", "chunk3")).alias("_band", "_bh"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bh") == F.col("r._bh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id1"), F.col("r._id").alias("id2"),
+            *[F.col(f"l.chunk{c}").alias(f"a{c}") for c in range(4)],
+            *[F.col(f"r.chunk{c}").alias(f"b{c}") for c in range(4)],
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{c}").cast("long").bitwiseXOR(F.col(f"b{c}").cast("long")))
+        for c in range(4)
+    )
+    return (
+        cand.select("id1", "id2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("hamming", "id1", "id2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (random hyperplane LSH + exact cosine verify)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def embedding_lsh_bucket(vec_col, dim: int, n_planes: int = 12, seed: int = 42) -> F.Column:
+    """Sign-bit bucket id from n_planes random hyperplanes (deterministic)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(vec_col, plane) > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+    col = bits[0]
+    for x in bits[1:]:
+        col = col + x
+    return col.cast("int")
+
+
+def embedding_near_duplicates(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, threshold: float = 0.8, n_planes: int = 8,
+) -> DataFrame:
+    """(id1, id2, cos_sim) pairs with cosine >= threshold; candidates blocked
+    by hyperplane LSH bucket, verified exactly within buckets."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("_id"), v.alias("_v"),
+        embedding_lsh_bucket(v, dim, n_planes).alias("_bkt"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cand = l.join(
+        r, (F.col("l._bkt") == F.col("r._bkt")) & (F.col("l._id") < F.col("r._id"))
+    )
+    cos = _dot(F.col("l._v"), F.col("r._v")) / (
+        F.sqrt(_dot(F.col("l._v"), F.col("l._v"))) * F.sqrt(_dot(F.col("r._v"), F.col("r._v")))
+    )
+    return (
+        cand.select(
+            F.col("l._id").alias("id1"), F.col("r._id").alias("id2"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy(F.col("cos_sim").desc(), "id1", "id2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries() entries (no SQL-expressible oracle; driver records a
+# rows-only check)
+# ---------------------------------------------------------------------------
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_near_duplicates(_load(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_near_duplicates(_load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return embedding_near_duplicates(_load(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+ROWS_ONLY_QUERIES = {
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding,
+}

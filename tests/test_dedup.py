@@ -1,0 +1,65 @@
+"""Dedup/similarity operators: planted duplicates must be found; LSH
+candidates must agree with brute-force above threshold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nostr_data_pipeline_spark.operators.dedup import (
+    embedding_near_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant near-duplicates: copy of doc text with one appended token
+    dup = d.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    exact = d.limit(3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return d.unionByName(dup).unionByName(exact)
+
+
+def test_minhash_finds_planted_dups(spark, docs_with_dups):
+    pairs = minhash_near_duplicates(docs_with_dups, threshold=0.5).collect()
+    found = {(r["id1"], r["id2"]) for r in pairs}
+    for i in range(3):
+        assert (i, i + 200000) in found, f"exact dup {i} missed"
+    planted_near = sum(1 for (a, b) in found if b == a + 100000)
+    assert planted_near >= 4  # near-dups (1 token diff) should mostly be caught
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_simhash_finds_exact_dups(spark, docs_with_dups):
+    pairs = simhash_near_duplicates(docs_with_dups, max_hamming=3).collect()
+    found = {(r["id1"], r["id2"]): r["hamming"] for r in pairs}
+    for i in range(3):
+        assert found.get((i, i + 200000)) == 0, f"exact dup {i} missed by simhash"
+
+
+def test_ngram_jaccard_pairs_exactness(spark, docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.9).collect()
+    found = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs}
+    for i in range(3):
+        assert found.get((i, i + 200000)) == 1.0
+
+
+def test_embedding_near_duplicates_self_consistency(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # plant an exact duplicate vector
+    dup = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(900001).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_duplicates(emb.unionByName(dup), threshold=0.999).collect()
+    assert any(r["id1"] == 1 and r["id2"] == 900001 and r["cos_sim"] >= 0.999 for r in pairs)
