@@ -20,7 +20,8 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    cdc_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))
+    cdc_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000"))
+    cdc_batches = int(os.environ.get("SPARK_GRAFT_CDC_BATCHES", "1"))
 
     from nostr_data_pipeline_spark.session import get_spark
 
@@ -61,7 +62,7 @@ def main() -> None:
         write_log(log_dir, spec)  # generation excluded from timing
         table = SnapshotTable(os.path.join(tmp, "tbl"), num_buckets=32)
         t0 = time.perf_counter()
-        result = replay_log(spark, table, log_dir, n_batches=4,
+        result = replay_log(spark, table, log_dir, n_batches=cdc_batches,
                             collect_lineage=False)
         replay_sec = time.perf_counter() - t0
         n_delivered = int(cdc_events * (1 + spec.dup_rate)) + len(spec.schema_changes)

@@ -1,0 +1,123 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size criterion.
+
+No real cluster exists in this sandbox, so (per driver instruction) the same
+replay job runs at two cluster sizes on the SAME input. Cluster sizes are
+modeled with Spark's ``local-cluster[n_executors, cores, mem_mb]`` master —
+REAL separate executor JVMs on this host (own heap, own GC, own shuffle
+client), which is the faithful stand-in for N vs 4N executors. Plain
+``local[N]`` is NOT used for the comparison: a single shared JVM serializes
+on one GC/memory manager and under-reports scaling that separate executors
+(and the raw hardware — measured 0.93 efficiency on a 32-process sha256
+burn) actually deliver.
+
+Default: 1 executor x 8 cores  vs  4 executors x 8 cores (N vs 4N).
+Each level runs in a fresh process with an untimed warm-up replay first.
+
+Prints one JSON line with throughput at both sizes + scaling efficiency
+T(4N) / (4 * T(N)).
+
+Usage: python bench_scaling.py [events] [n_exec_lo] [n_exec_hi] [cores_per_exec]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+WORKER = r"""
+import json, os, sys, time
+n_exec = int(sys.argv[1]); cores = int(sys.argv[2]); log_dir = sys.argv[3]
+out_dir = sys.argv[4]; delivered = int(sys.argv[5])
+total_cores = n_exec * cores
+from nostr_data_pipeline_spark.session import get_spark
+spark = get_spark(
+    f"scale-{n_exec}x{cores}",
+    shuffle_partitions=max(8, total_cores),
+    master=f"local-cluster[{n_exec},{cores},12288]",
+    extra_conf={
+        "spark.driver.memory": "8g",
+        # each executor JVM must size GC/JIT pools to ITS cores, not the
+        # host's 32 (4 JVMs x 32 GC threads would thrash), and default G1
+        # anti-scales on this host (see session.py)
+        "spark.executor.extraJavaOptions":
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores}",
+    },
+)
+from nostr_data_pipeline_spark.cdc.replayer import replay_log, LOG_SCHEMA
+from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+# untimed warm-up: spins up executors, codegen, python workers
+warm = SnapshotTable(os.path.join(out_dir, "warm"), num_buckets=8)
+wdir = os.path.join(out_dir, "warmlog")
+spark.read.schema(LOG_SCHEMA).parquet(log_dir).limit(20000) \
+    .write.mode("overwrite").parquet(wdir)
+replay_log(spark, warm, wdir, n_batches=1, collect_lineage=False)
+# timed run
+table = SnapshotTable(os.path.join(out_dir, "tbl"), num_buckets=max(32, total_cores))
+t0 = time.perf_counter()
+replay_log(spark, table, log_dir, n_batches=1, collect_lineage=False)
+dt = time.perf_counter() - t0
+print(json.dumps({"executors": n_exec, "cores_per_executor": cores,
+                  "total_cores": total_cores, "sec": round(dt, 2),
+                  "events_per_sec": round(delivered / dt, 1)}))
+spark.stop()
+"""
+
+
+def run_at(n_exec: int, cores: int, log_dir: str, delivered: int) -> dict:
+    out_dir = tempfile.mkdtemp(prefix=f"scale{n_exec}x{cores}-")
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ, PYTHONPATH=repo)
+        proc = subprocess.run(
+            [sys.executable, "-c", WORKER, str(n_exec), str(cores), log_dir,
+             out_dir, str(delivered)],
+            capture_output=True, text=True, env=env, timeout=1700,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"worker failed:\n{proc.stderr[-2000:]}")
+        return json.loads(lines[-1])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> None:
+    events = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+        os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "2000000")
+    )
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    cores = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+    from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log
+
+    tmp = tempfile.mkdtemp(prefix="scalelog-")
+    try:
+        spec = LogSpec(n_events=events, n_repos=max(100, events // 2000),
+                       paths_per_repo=50, n_files=max(64, 4 * cores * n_hi),
+                       seed=42)
+        log_dir = os.path.join(tmp, "log")
+        write_log(log_dir, spec)
+        delivered = int(events * (1 + spec.dup_rate)) + len(spec.schema_changes)
+        lo = run_at(n_lo, cores, log_dir, delivered)
+        hi = run_at(n_hi, cores, log_dir, delivered)
+        factor = n_hi / n_lo
+        eff = hi["events_per_sec"] / (factor * lo["events_per_sec"])
+        print(json.dumps({
+            "metric": "replay->upsert scaling efficiency "
+                      "(same input, N vs 4N executors, local-cluster)",
+            "events_delivered": delivered,
+            "pairs": [lo, hi],
+            "executor_factor": factor,
+            "scaling_efficiency": round(eff, 3),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,12 +5,18 @@ The reference applies profile updates in arrival order — last writer wins
 must be order-independent, so the winner is defined by the total order
 ``(seq, event_id)`` (tie-break documented in SURVEY §7).
 
-Two implementations, both skew-safe at 10^10 events:
+Three implementations, all skew-safe at 10^10 events:
 
-- ``mode='agg'`` (default): ``max_by(struct(*), struct(seq, event_id))``
-  hash aggregation. Spark performs partial (map-side) aggregation before the
-  shuffle, so a hot repo collapses to one partial row per map task — skew is
-  defused without any explicit salting, and no sort is needed.
+- ``mode='maxseq'`` (default, fastest): two narrow passes. Pass 1 computes
+  ``max(seq)`` per key — a TRUE HashAggregate with map-side combine over a
+  pruned scan (only key + seq columns are read; the content payload never
+  moves). Pass 2 joins the winner seqs back and keeps matching rows, then a
+  residual tie-resolve (equal seq, different event_id — rare) on the tiny
+  winner set. The wide payload crosses the wire exactly once, un-sorted.
+- ``mode='agg'``: ``max_by(struct(*), struct(seq, event_id))`` aggregation.
+  One-pass and elegant, but struct aggregation buffers are not
+  HashAggregate-compatible, so Spark plans a SortAggregate — the full batch
+  (payload included) gets sorted map-side. Kept as the semantic reference.
 - ``mode='salted_window'``: the explicit two-phase scheme the north rule
   names — salted repartition + per-(key, salt) ``row_number`` pre-reduction,
   then a final per-key reduction over at most ``salt`` rows per key. Same
@@ -18,7 +24,7 @@ Two implementations, both skew-safe at 10^10 events:
   handling and the explicit form is the portable pattern when the winner
   must carry window semantics.
 
-Both are pure DataFrame plans (whole-stage codegen; no Python in the path).
+All are pure DataFrame plans (whole-stage codegen; no Python in the path).
 """
 
 from __future__ import annotations
@@ -32,12 +38,29 @@ def resolve_lww(
     key_cols: tuple[str, ...] = ("repo", "path"),
     seq_col: str = "seq",
     tie_col: str = "event_id",
-    mode: str = "agg",
+    mode: str = "maxseq",
     salt: int = 16,
 ) -> DataFrame:
     """Reduce to exactly one row per key: the (seq, tie)-max winner.
     Preserves all input columns."""
     payload = [c for c in df.columns if c not in key_cols]
+    if mode == "maxseq":
+        winners = df.groupBy(*key_cols).agg(F.max(seq_col).alias("_max_seq"))
+        cand = (
+            df.join(winners, list(key_cols), "inner")
+            .filter(F.col(seq_col) == F.col("_max_seq"))
+            .drop("_max_seq")
+        )
+        # residual ties: exact duplicates (same event redelivered) and the
+        # pathological equal-seq-different-id case; 'cand' is ~one row per
+        # key, so the struct agg here is tiny
+        win = F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col(seq_col), F.col(tie_col)),
+        ).alias("_w")
+        out = cand.groupBy(*key_cols).agg(win)
+        return out.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
     if mode == "agg":
         win = F.max_by(
             F.struct(*[F.col(c) for c in payload]),

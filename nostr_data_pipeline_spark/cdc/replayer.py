@@ -1,4 +1,4 @@
-"""Batch change-log replayer: dedup -> LWW -> schema epochs -> guarded MERGE.
+"""Batch change-log replayer: LWW (subsumes dedup) -> guarded MERGE.
 
 Replays a CDC log directory into a SnapshotTable so that the final state
 equals the pure-pandas oracle (content sha256 per row — BASELINE.json
@@ -6,16 +6,17 @@ invariant). The streaming variant lives in
 ``nostr_data_pipeline_spark/streaming/replayer.py``; this module is the
 shared core both use.
 
-Pipeline per (micro-)batch — all DataFrame-native:
-1. ``dropDuplicates(event_id)`` (reference in-batch dedup,
-   /root/reference/src/nostr_pipeline/pipeline.py:202-211),
-2. split off ``schema_change`` rows (tiny; driver applies them as metadata
-   commits between seq-epochs — SURVEY §7 "schema-change ordering"),
-3. parse ``extra_json`` into the currently-active evolved columns
-   (``from_json`` to map + cast; JVM-side),
-4. normalize + sha256 the content via the vectorized pandas UDF,
-5. LWW-resolve per (repo, path),
-6. seq-guarded MERGE with tombstoned deletes and exactly-once markers.
+Pipeline per (micro-)batch — all DataFrame-native, exactly ONE wide shuffle
+of the batch (the LWW aggregation) before the merge join:
+1. split off ``schema_change`` rows (tiny; metadata commits — evolution is
+   order-independent, see SnapshotTable.evolve_column),
+2. LWW-resolve per (repo, path) via partial-aggregating ``max_by`` — this
+   also subsumes the reference's in-batch dedup
+   (/root/reference/src/nostr_pipeline/pipeline.py:202-211): verbatim
+   duplicate event_ids cannot change the (seq, event_id)-max winner,
+3. normalize + sha256 the winning content via the vectorized pandas UDF,
+4. seq-guarded MERGE with tombstoned deletes and exactly-once markers
+   (cross-batch duplicates/replays fail the strict '>' guard -> no-ops).
 """
 
 from __future__ import annotations
@@ -79,15 +80,22 @@ class ReplayResult:
 
 
 def prepare_batch(batch: DataFrame, table: SnapshotTable,
-                  lww_mode: str = "agg", salt: int = 16) -> DataFrame:
+                  lww_mode: str = "maxseq", salt: int = 16) -> DataFrame:
     """Data rows of one batch -> LWW-resolved rows shaped for MERGE.
-    The raw ``extra_json`` payload travels with the row; evolved columns are
-    virtual (projected at read time), so no parse happens here."""
+
+    Shuffle discipline (this is the hot path of the primary metric):
+    - NO explicit dropDuplicates shuffle: duplicate event_ids are verbatim
+      redeliveries, so the LWW ``max_by`` on (seq, event_id) picks the same
+      winner with or without them — in-batch dedup is subsumed by conflict
+      resolution (one shuffle instead of two). Cross-batch redelivery is
+      handled by the seq-guard in MERGE (strict '>' makes replays no-ops).
+    - sha256 (the Arrow-batched pandas UDF) runs AFTER resolution, on winners
+      only — never on LWW losers or duplicate copies.
+    - ``extra_json`` travels raw; evolved columns are virtual (projected at
+      read time), so no parse happens here."""
     cols = [
         F.col("repo"), F.col("path"), F.col("commit"), F.col("lang"),
         F.col("content"),
-        # vectorized pandas UDF: normalize + sha256 (input_hint mandate)
-        F.when(F.col("content").isNotNull(), content_sha256("content")).alias("content_sha256"),
         F.col("extra_json"),
         F.col("seq"), F.col("event_id"),
         F.col("ts").alias("updated_ts"),
@@ -96,6 +104,11 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
     shaped = batch.select(*cols)
     resolved = resolve_lww(shaped, ("repo", "path"), "seq", "event_id",
                            mode=lww_mode, salt=salt)
+    resolved = resolved.withColumn(
+        # vectorized pandas UDF: normalize + sha256 (input_hint mandate)
+        "content_sha256",
+        F.when(F.col("content").isNotNull(), content_sha256("content")),
+    )
     return resolved.withColumnRenamed("seq", "last_seq").withColumnRenamed(
         "event_id", "last_event_id"
     )
@@ -107,7 +120,7 @@ def replay_batch(
     batch: DataFrame,
     stream_id: str,
     batch_id: int,
-    lww_mode: str = "agg",
+    lww_mode: str = "maxseq",
     salt: int = 16,
     collect_lineage: bool = True,
 ) -> dict[str, Any]:
@@ -117,21 +130,21 @@ def replay_batch(
     if last is not None and batch_id <= last:
         return {"skipped_replay": True, "batch_id": batch_id}
 
-    deduped = batch.dropDuplicates(["event_id"])
-
     # Schema changes are rare, tiny rows -> driver-side collect is correct &
-    # cheap. Evolution is ORDER-INDEPENDENT (virtual columns guarded by
-    # add_seq, see SnapshotTable.evolve_column), so no seq-epoch splitting is
-    # needed: apply the metadata commits, then merge the whole batch at once.
+    # cheap (filter pushes into the scan; no dedup shuffle needed — applying
+    # a schema event twice is idempotent). Evolution is ORDER-INDEPENDENT
+    # (virtual columns guarded by add_seq, see SnapshotTable.evolve_column),
+    # so no seq-epoch splitting is needed: apply the metadata commits, then
+    # merge the whole batch at once.
     sc = (
-        deduped.filter(F.col("op") == "schema_change")
+        batch.filter(F.col("op") == "schema_change")
         .select("seq", "sc_col_name", "sc_col_type")
         .collect()
     )
     for r in sorted(sc, key=lambda r: r["seq"]):
         table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
 
-    data = deduped.filter(F.col("op") != "schema_change")
+    data = batch.filter(F.col("op") != "schema_change")
     resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt)
     # the resolved batch feeds three consumers (lineage agg, bucket pruning,
     # the merge join) — cache it so LWW runs once per batch
@@ -162,7 +175,7 @@ def replay_log(
     log_dir: str,
     stream_id: str = "batch-replay",
     n_batches: int = 1,
-    lww_mode: str = "agg",
+    lww_mode: str = "maxseq",
     salt: int = 16,
     collect_lineage: bool = True,
 ) -> ReplayResult:

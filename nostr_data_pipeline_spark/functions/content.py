@@ -49,14 +49,34 @@ def fingerprint_series(s: pd.Series) -> pd.Series:
 # Spark-side vectorized UDFs (Arrow batches)
 # ---------------------------------------------------------------------------
 
+# NB: the UDF bodies are self-contained (locals + stdlib only) so cloudpickle
+# ships them by value — executor Python workers never import this module
+# (whose pyspark imports would add seconds of cold-start per worker).
+
 @pandas_udf(StringType())
 def normalize_content(s: pd.Series) -> pd.Series:  # pragma: no cover (runs on executors)
-    return normalize_series(s)
+    import unicodedata as _ud
+
+    out = s.str.replace("\r\n", "\n", regex=False)
+    mask = out.notna()
+    if mask.any():
+        out.loc[mask] = [_ud.normalize("NFC", x) for x in out.loc[mask]]
+    return out
 
 
 @pandas_udf(StringType())
 def content_sha256(s: pd.Series) -> pd.Series:  # pragma: no cover (runs on executors)
-    return fingerprint_series(s)
+    import hashlib as _hl
+    import unicodedata as _ud
+
+    out = s.str.replace("\r\n", "\n", regex=False)
+    mask = out.notna()
+    if mask.any():
+        out.loc[mask] = [
+            _hl.sha256(_ud.normalize("NFC", x).encode("utf-8")).hexdigest()
+            for x in out.loc[mask]
+        ]
+    return out
 
 
 def sha256_raw(col: Column) -> Column:

@@ -280,9 +280,37 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_near_duplicates(_load(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.similarity import ann_lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id = 0").first()["embedding"]
+    return ann_lsh_topk(emb, q, k=10, probe_flips=2)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.similarity import ann_ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id = 0").first()["embedding"]
+    return ann_ivf_topk(emb, q, k=10, n_cells=8, n_probe=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    return extract_features(synthetic_media(spark, n=64), dim=32)
+
+
 ROWS_ONLY_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_features": q_multimodal_features,
 }

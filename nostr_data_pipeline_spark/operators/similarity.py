@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, all deterministic:
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. One
+  scan, JVM-side dot products (zip_with/aggregate), TakeOrderedAndProject.
+- ``ann_lsh_topk``: random-hyperplane LSH. At 100 TB the bucket column is
+  precomputed & partitioned-by, so a query touches one bucket (plus optional
+  1-bit-flip neighbor buckets for recall) instead of the full table.
+- ``ann_ivf_topk``: IVF — k-means-style centroids trained driver-side on a
+  deterministic sample (tiny), cell assignment via a vectorized pandas UDF
+  (one matmul per Arrow batch), query probes the ``n_probe`` nearest cells.
+
+The scale story: brute-force cost is O(N); LSH/IVF reduce the scanned
+fraction to ~1/n_buckets or n_probe/n_cells while recall stays high for
+clustered data. Exactness is verified in tests against brute-force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from nostr_data_pipeline_spark.operators.dedup import _dot, _hyperplanes
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cos(v, q) -> F.Column:
+    return _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
+
+
+def _query_lit(query_vec: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k. (id, cos_sim) desc."""
+    v = _as_double(F.col(vec_col))
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.round(_cos(v, _query_lit(query_vec)), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 8, probe_flips: int = 1, seed: int = 42) -> DataFrame:
+    """Approximate top-k: search only the query's LSH bucket plus all buckets
+    within ``probe_flips`` sign-bit flips (recall knob)."""
+    dim = len(query_vec)
+    planes = np.array(_hyperplanes(dim, n_planes, seed))
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
+    probe = {qsig}
+    if probe_flips >= 1:
+        probe |= {qsig ^ (1 << i) for i in range(n_planes)}
+    if probe_flips >= 2:
+        probe |= {
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        }
+
+    from nostr_data_pipeline_spark.operators.dedup import embedding_lsh_bucket
+
+    v = _as_double(F.col(vec_col))
+    bucketed = df.select(
+        F.col(id_col).alias("id"), v.alias("_v"),
+        embedding_lsh_bucket(v, dim, n_planes, seed).alias("_bkt"),
+    )
+    return (
+        bucketed.filter(F.col("_bkt").isin(*sorted(probe)))
+        .select("id", F.round(_cos(F.col("_v"), _query_lit(query_vec)), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
+                        n_cells: int = 16, sample: int = 2048, seed: int = 42,
+                        iters: int = 10) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the IVF codebook
+    is tiny and global — training it centrally is the standard design)."""
+    rows = (
+        df.select(vec_col).limit(sample).toPandas()[vec_col].tolist()
+    )
+    X = np.asarray(rows, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized rows
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ann_ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_cells: int = 16, n_probe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF: assign each vector to its nearest centroid cell (vectorized pandas
+    UDF — one matmul per Arrow batch), probe the n_probe cells nearest to the
+    query, exact cosine within."""
+    C = train_ivf_centroids(df, vec_col, n_cells=n_cells, seed=seed)
+
+    @pandas_udf(IntegerType())
+    def assign_cell(vs: pd.Series) -> pd.Series:  # pragma: no cover (executors)
+        M = np.asarray(vs.tolist(), dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(C @ qn))[:n_probe].tolist()
+
+    v = _as_double(F.col(vec_col))
+    assigned = df.select(
+        F.col(id_col).alias("id"), v.alias("_v"), assign_cell(F.col(vec_col)).alias("_cell")
+    )
+    return (
+        assigned.filter(F.col("_cell").isin(*[int(p) for p in probe]))
+        .select("id", F.round(_cos(F.col("_v"), _query_lit(query_vec.tolist() if hasattr(query_vec, "tolist") else list(query_vec))), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )

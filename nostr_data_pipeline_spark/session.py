@@ -20,14 +20,19 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     cores: int N -> local[N]; None -> $SPARK_GRAFT_CPUS or '*'.
+    master: overrides cores entirely — e.g. 'local-cluster[4,8,12288]' for
+    real multi-executor JVMs (the scaling-evidence mode: one JVM per
+    executor avoids the shared-GC ceiling of plain local[N]).
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    if master is None:
+        master = f"local[{cores}]"
     if shuffle_partitions is None:
         try:
             shuffle_partitions = max(8, int(cores))
@@ -49,10 +54,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver is the only JVM.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Throughput GC: measured on this host, default G1 anti-scales badly
+        # with thread count (a 32-thread CPU-bound job ran 8x SLOWER than at
+        # 8 threads under G1; ParallelGC restores near-linear scaling).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         # Keep scans parallel even for few large files at bench scale.
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    if master.startswith("local-cluster"):
+        # executor python workers must resolve this package for mapInPandas
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pp = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", f"{repo_root}:{pp}" if pp else repo_root
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

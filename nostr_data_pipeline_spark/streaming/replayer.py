@@ -45,7 +45,7 @@ class StreamingReplayer:
         stream_id: str = "stream-replay",
         lateness: str = "10 minutes",
         max_files_per_trigger: int | None = None,
-        lww_mode: str = "agg",
+        lww_mode: str = "maxseq",
         salt: int = 16,
         collect_lineage: bool = True,
     ):

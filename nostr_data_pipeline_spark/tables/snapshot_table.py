@@ -202,6 +202,7 @@ class SnapshotTable:
         stream_id: str | None = None,
         batch_id: int | None = None,
         extra_metrics: dict[str, Any] | None = None,
+        update_mode: str = "replace",
     ) -> dict[str, Any]:
         """MERGE a LWW-resolved source (exactly one row per key) into the table.
 
@@ -211,6 +212,14 @@ class SnapshotTable:
           winner = s if (s.seq, s.tie) > (t.seq, t.tie) else t
         Deleted winners persist as tombstones so replayed/late older upserts
         cannot resurrect the key.
+
+        ``update_mode``:
+          - 'replace' (default): the winning event replaces the whole row;
+          - 'coalesce': non-null-wins field update — a winning event updates
+            only the fields it carries, keeping the target's value where the
+            source is null (the reference's profile-upsert semantics,
+            /root/reference/src/nostr_pipeline/loaders/event_loader.py:60-87:
+            ``if profile_data.get(field) is not None: setattr(...)``).
 
         Returns commit metrics (rows_inserted/updated/deleted/unchanged).
         Idempotent per (stream_id, batch_id): a replayed batch is a no-op.
@@ -254,11 +263,18 @@ class SnapshotTable:
             | (s_seq > t_seq)
             | ((s_seq == t_seq) & (s_tie > t_tie))
         )
+        bookkeeping = set(self.key_cols) | {seq_col, tie_col, delete_col}
+
+        def _winner(f: T.StructField) -> F.Column:
+            s_val, t_val = F.col(f"s.{f.name}"), F.col(f"t.{f.name}")
+            if update_mode == "coalesce" and f.name not in bookkeeping:
+                upd = F.coalesce(s_val, t_val)  # non-null-wins (S6)
+            else:
+                upd = s_val
+            return F.when(s_wins, upd).otherwise(t_val).alias(f.name)
+
         merged = joined.select(
-            *[
-                F.when(s_wins, F.col(f"s.{f.name}")).otherwise(F.col(f"t.{f.name}")).alias(f.name)
-                for f in schema.fields
-            ],
+            *[_winner(f) for f in schema.fields],
             F.when(s_wins & ~t_exists & ~F.col(f"s.{delete_col}"), "insert")
             .when(s_wins & t_exists & F.col(f"s.{delete_col}") & ~F.col(f"t.{delete_col}"), "delete")
             .when(s_wins & t_exists, "update")
@@ -362,6 +378,46 @@ class SnapshotTable:
         return True
 
     # ------------------------------------------------------------- housekeeping
+    def delete_where(self, spark: SparkSession, condition: str) -> dict[str, Any]:
+        """Row-level retention delete (the reference's cleanup_old_data,
+        /root/reference/src/nostr_pipeline/loaders/event_loader.py:268-297):
+        physically remove rows matching the SQL condition, rewriting only the
+        buckets that contain matches. Unlike merge-deletes these leave no
+        tombstone — retention is a hard purge."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        removed_total = 0
+        new_buckets = dict(m["buckets"])
+        new_version = m["version"] + 1
+        data_rel = f"data-v{new_version:08d}"
+        changed = False
+        for b, files in m["buckets"].items():
+            if not files:
+                continue
+            df = self._read_files(spark, files, schema)
+            hits = df.filter(condition).limit(1).count()
+            if not hits:
+                continue
+            kept = df.filter(f"NOT ({condition})")
+            out_dir = os.path.join(self.path, data_rel, f"_bucket={b}")
+            kept.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            new_buckets[b] = [
+                f"{data_rel}/_bucket={b}/{fn}"
+                for fn in sorted(os.listdir(out_dir)) if fn.endswith(".parquet")
+            ]
+            changed = True
+            removed_total += df.count() - kept.count()
+        if not changed:
+            return {"rows_deleted": 0, "buckets_rewritten": 0}
+        self._commit({**m, "version": new_version, "buckets": new_buckets,
+                      "metrics": {"retention_delete": condition,
+                                  "rows_deleted": removed_total}})
+        return {"rows_deleted": removed_total}
+
+    def vacuum_tombstones(self, spark: SparkSession) -> dict[str, Any]:
+        """Purge tombstone rows (safe once no older-seq traffic can arrive)."""
+        return self.delete_where(spark, "_deleted")
+
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data directories not referenced by the newest
         ``keep_versions`` manifests. Returns count removed."""
