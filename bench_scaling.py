@@ -93,15 +93,34 @@ def main() -> None:
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     cores = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
-    from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log
+    from nostr_data_pipeline_spark.cdc.generator import (
+        LogSpec,
+        write_log,
+        write_log_spark,
+    )
 
-    tmp = tempfile.mkdtemp(prefix="scalelog-")
+    keep_dir = os.environ.get("SPARK_GRAFT_SCALE_LOGDIR")
+    tmp = keep_dir or tempfile.mkdtemp(prefix="scalelog-")
+    os.makedirs(tmp, exist_ok=True)
     try:
         spec = LogSpec(n_events=events, n_repos=max(100, events // 2000),
                        paths_per_repo=50, n_files=max(64, 4 * cores * n_hi),
                        seed=42)
-        log_dir = os.path.join(tmp, "log")
-        write_log(log_dir, spec)
+        log_dir = os.path.join(tmp, f"log-{events}")
+        if os.path.exists(os.path.join(log_dir, "_SUCCESS")) or (
+            os.path.isdir(log_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(log_dir))
+        ):
+            pass  # reuse pre-generated input (same seed => identical)
+        elif events > 3_000_000:
+            # Spark-native generation for big inputs (parallel, seconds)
+            from nostr_data_pipeline_spark.session import get_spark
+
+            gen_spark = get_spark("scale-gen", cores=16)
+            write_log_spark(gen_spark, log_dir, spec)
+            gen_spark.stop()
+        else:
+            write_log(log_dir, spec)
         delivered = int(events * (1 + spec.dup_rate)) + len(spec.schema_changes)
         lo = run_at(n_lo, cores, log_dir, delivered)
         hi = run_at(n_hi, cores, log_dir, delivered)
@@ -116,7 +135,8 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
         }))
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not keep_dir:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

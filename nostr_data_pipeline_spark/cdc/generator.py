@@ -58,10 +58,12 @@ class LogSpec:
 
 
 def _hex40(rng: np.random.Generator, n: int) -> np.ndarray:
+    """n random 40-hex strings, vectorized (np.char.mod formats in C)."""
     a = rng.integers(0, np.iinfo(np.int64).max, size=(n, 3), dtype=np.int64)
-    return np.array(
-        [f"{r[0]:016x}{r[1]:016x}{r[2] & 0xFFFFFFFF:08x}" for r in a], dtype=object
-    )
+    h0 = np.char.zfill(np.char.mod("%x", a[:, 0]), 16)
+    h1 = np.char.zfill(np.char.mod("%x", a[:, 1]), 16)
+    h2 = np.char.zfill(np.char.mod("%x", a[:, 2] & 0xFFFFFFFF), 8)
+    return np.char.add(np.char.add(h0, h1), h2).astype(object)
 
 
 def make_log_frame(spec: LogSpec) -> pd.DataFrame:
@@ -84,30 +86,41 @@ def make_log_frame(spec: LogSpec) -> pd.DataFrame:
     # loaders/event_loader.py:89-112), so the log just distinguishes upsert/delete.
     commits = _hex40(rng, n)
 
+    # vectorized string synthesis (np.char.* formats/concats in C — keeps
+    # 20M+-event benchmark logs generable in seconds)
+    repo_lut = np.array([f"repo-{i:04d}" for i in range(spec.n_repos)], dtype=object)
+    path_lut = np.array(
+        [f"src/dir{j // 10}/file{j:03d}.{LANGS[j % len(LANGS)]}"
+         for j in range(spec.paths_per_repo)], dtype=object
+    )
+    lang_lut = np.array(LANGS, dtype=object)
     df = pd.DataFrame(
         {
             "seq": seq,
             "op": op,
-            "repo": pd.Series(repo_idx).map(lambda i: f"repo-{i:04d}").to_numpy(object),
-            "path": pd.Series(path_idx).map(
-                lambda j: f"src/dir{j // 10}/file{j:03d}.{LANGS[j % len(LANGS)]}"
-            ).to_numpy(object),
-            "lang": pd.Series(lang_idx).map(lambda i: LANGS[i]).to_numpy(object),
+            "repo": repo_lut[repo_idx],
+            "path": path_lut[path_idx],
+            "lang": lang_lut[lang_idx],
             "commit": commits,
         }
     )
-    df["event_id"] = [f"{s:012x}-{c[:8]}" for s, c in zip(seq, commits)]
+    seq_hex = np.char.zfill(np.char.mod("%x", seq), 12).astype(object)
+    commit8 = np.char.mod("%.8s", commits.astype(str)).astype(object)
+    df["event_id"] = seq_hex + "-" + commit8
     df["ts"] = BASE_TS + pd.to_timedelta(seq, unit="s")
 
     pad = (seq % max(spec.content_pad, 1)).astype(np.int64)
-    body = pd.Series(
-        [f"def fn_{s}():\n    return '{c[:12]}'\n" for s, c in zip(seq, commits)],
-        dtype=object,
+    seq_str = np.char.mod("%d", seq).astype(object)
+    commit12 = np.char.mod("%.12s", commits.astype(str)).astype(object)
+    body = "def fn_" + seq_str + "():\n    return '" + commit12 + "'\n"
+    # filler length k -> lookup table of '#'*k (tiny) indexed vectorized
+    hash_lut = np.array(["#" * k for k in range(max(spec.content_pad, 1))], dtype=object)
+    filler = hash_lut[pad]
+    df["content"] = (
+        "// " + df["repo"].to_numpy(object) + "/" + df["path"].to_numpy(object)
+        + "\n" + body + filler
     )
-    filler = pd.Series(["#" * int(k) for k in pad], dtype=object)
-    df["content"] = ("// " + df["repo"] + "/" + df["path"] + "\n" + body + filler)
     df.loc[df["op"] == "delete", "content"] = None
-    df.loc[df["op"] == "delete", "commit"] = df.loc[df["op"] == "delete", "commit"]
 
     # --- schema evolution: inject schema_change rows and extra_json ---------
     df["extra_json"] = None
@@ -140,19 +153,16 @@ def make_log_frame(spec: LogSpec) -> pd.DataFrame:
         first_add.setdefault(col, at)
     size_vals = rng.integers(1, 1_000_000, size=n)
     star_vals = rng.integers(0, 50_000, size=n)
-    extra = np.full(n, None, dtype=object)
     sb_at = first_add.get("size_bytes", n + 1)
     st_at = first_add.get("stars", n + 1)
-    for i in range(n):
-        if op[i] == "delete":
-            continue
-        parts = []
-        if i > sb_at:
-            parts.append(f'"size_bytes": {int(size_vals[i])}')
-        if i > st_at:
-            parts.append(f'"stars": {int(star_vals[i])}')
-        if parts:
-            extra[i] = "{" + ", ".join(parts) + "}"
+    not_del = op != "delete"
+    has_sb = (seq > sb_at) & not_del
+    has_st = (seq > st_at) & not_del
+    sb_part = np.where(has_sb, '"size_bytes": ' + np.char.mod("%d", size_vals).astype(object), "")
+    st_part = np.where(has_st, '"stars": ' + np.char.mod("%d", star_vals).astype(object), "")
+    joiner = np.where(has_sb & has_st, ", ", "")
+    inner = sb_part.astype(object) + joiner.astype(object) + st_part.astype(object)
+    extra = np.where(has_sb | has_st, "{" + inner + "}", None)
     df["extra_json"] = extra
 
     df = pd.concat([df, pd.DataFrame(sc_rows)], ignore_index=True)
@@ -173,6 +183,98 @@ def make_log_frame(spec: LogSpec) -> pd.DataFrame:
         "content", "extra_json", "sc_col_name", "sc_col_type",
     ]
     return df[cols]
+
+
+def write_log_spark(spark, out_dir: str, spec: LogSpec = LogSpec()) -> None:
+    """Spark-native log generator for LARGE benchmark inputs (fully parallel;
+    20M+ rows in seconds). Same schema and qualitative properties as the
+    pandas generator (Zipf-ish hot repos via power-law inverse CDF, verbatim
+    duplicates, bounded disorder, deletes, schema_change rows) but NOT
+    row-identical to it — correctness tests use the pandas path + oracle;
+    this one feeds throughput/scaling benches only."""
+    from pyspark.sql import functions as F
+
+    n = spec.n_events
+    base_epoch = int(BASE_TS.timestamp())
+    df = spark.range(0, n, 1, max(32, spec.n_files))
+    u = F.rand(spec.seed)
+    repo_idx = F.least(
+        F.lit(spec.n_repos - 1),
+        F.floor(F.lit(spec.n_repos) * F.pow(u, F.lit(2.5))).cast("int"),
+    )
+    path_idx = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(spec.paths_per_repo)).cast("int")
+    langs = F.array(*[F.lit(x) for x in LANGS])
+    h = lambda k: F.lower(F.lpad(F.hex(F.xxhash64("id", F.lit(k))), 16, "0"))  # noqa: E731
+    commit = F.concat(h(2), h(3), F.substring(h(4), 1, 8))
+    df = df.select(
+        F.col("id").alias("seq"),
+        F.when(F.rand(spec.seed + 1) < spec.delete_rate, "delete")
+        .otherwise("upsert").alias("op"),
+        F.format_string("repo-%04d", repo_idx).alias("repo"),
+        F.format_string("src/dir%d/file%03d.", (path_idx / 10).cast("int"), path_idx)
+        .alias("_p"),
+        path_idx.alias("_pi"),
+        commit.alias("commit"),
+        F.timestamp_seconds(F.lit(base_epoch) + F.col("id")).alias("ts"),
+    )
+    lang = F.element_at(langs, F.pmod(F.col("_pi"), F.lit(len(LANGS))).cast("int") + 1)
+    df = df.withColumn("lang", lang).withColumn(
+        "path", F.concat(F.col("_p"), F.col("lang"))
+    ).drop("_p", "_pi")
+    pad = F.pmod(F.col("seq"), F.lit(max(spec.content_pad, 1))).cast("int")
+    content = F.concat(
+        F.lit("// "), F.col("repo"), F.lit("/"), F.col("path"), F.lit("\ndef fn_"),
+        F.col("seq").cast("string"), F.lit("():\n    return '"),
+        F.substring(F.col("commit"), 1, 12), F.lit("'\n"), F.repeat(F.lit("#"), pad),
+    )
+    df = df.withColumn("content", F.when(F.col("op") != "delete", content))
+    sb_at, st_at = int(0.40 * n), int(0.55 * n)
+    extra = F.when(
+        (F.col("op") != "delete") & (F.col("seq") > F.lit(st_at)),
+        F.format_string('{"size_bytes": %d, "stars": %d}',
+                        F.pmod(F.xxhash64("seq", F.lit(5)), F.lit(1_000_000)),
+                        F.pmod(F.xxhash64("seq", F.lit(6)), F.lit(50_000))),
+    ).when(
+        (F.col("op") != "delete") & (F.col("seq") > F.lit(sb_at)),
+        F.format_string('{"size_bytes": %d}',
+                        F.pmod(F.xxhash64("seq", F.lit(5)), F.lit(1_000_000))),
+    )
+    df = df.withColumn("extra_json", extra)
+    df = df.withColumn("event_id",
+                       F.concat(F.lpad(F.lower(F.hex("seq")), 12, "0"), F.lit("-"),
+                                F.substring("commit", 1, 8)))
+    df = df.withColumn("sc_col_name", F.lit(None).cast("string")).withColumn(
+        "sc_col_type", F.lit(None).cast("string")
+    )
+    cols = ["event_id", "seq", "op", "repo", "path", "ts", "commit", "lang",
+            "content", "extra_json", "sc_col_name", "sc_col_type"]
+    df = df.select(*cols)
+
+    dups = df.sample(fraction=spec.dup_rate, seed=spec.seed + 7)
+    sc_rows = []
+    for frac, col, typ in spec.schema_changes:
+        at = int(frac * n)
+        sc_rows.append((f"sc-{at:012x}-{col}-{typ}", at, "schema_change", "_schema",
+                        "", (BASE_TS + pd.to_timedelta(at, unit="s")).to_pydatetime(),
+                        None, None, None, None, col, typ))
+    sc_schema = (
+        "event_id string, seq long, op string, repo string, path string, "
+        "ts timestamp, commit string, lang string, content string, "
+        "extra_json string, sc_col_name string, sc_col_type string"
+    )
+    sc_df = spark.createDataFrame(sc_rows, sc_schema) if sc_rows else None
+    full = df.unionByName(dups)
+    if sc_df is not None:
+        full = full.unionByName(sc_df)
+    jitter = (F.rand(spec.seed + 9) - 0.5) * (2.0 * spec.disorder)
+    full = full.withColumn("_order", F.col("seq") + jitter)
+    (
+        full.repartitionByRange(spec.n_files, "_order")
+        .sortWithinPartitions("_order")
+        .drop("_order")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
 
 
 def write_log(out_dir: str, spec: LogSpec = LogSpec()) -> list[str]:

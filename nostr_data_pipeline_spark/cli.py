@@ -1,0 +1,166 @@
+"""CLI — the reference's command surface (/root/reference/src/nostr_pipeline/
+cli.py: run / stats / trending / top-zapped / user / relays / init-db)
+re-expressed over this engine.
+
+Usage (spark-submit or plain python):
+
+  python -m nostr_data_pipeline_spark.cli init-db --table /data/repo_files
+  python -m nostr_data_pipeline_spark.cli replay --log /data/cdclog --table /data/repo_files
+  python -m nostr_data_pipeline_spark.cli stream --log /data/cdclog --table /data/repo_files \
+      --checkpoint /data/ckpt
+  python -m nostr_data_pipeline_spark.cli stats --table /data/repo_files
+  python -m nostr_data_pipeline_spark.cli trending --table /data/repo_files --limit 10
+  python -m nostr_data_pipeline_spark.cli top-repos --table /data/repo_files --limit 10
+  python -m nostr_data_pipeline_spark.cli file --table /data/repo_files --repo R --path P
+  python -m nostr_data_pipeline_spark.cli vacuum --table /data/repo_files
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _table(args):
+    from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+    return SnapshotTable(args.table, num_buckets=args.buckets)
+
+
+def cmd_init_db(spark, args) -> None:
+    from nostr_data_pipeline_spark.cdc.replayer import TARGET_BASE_SCHEMA
+
+    t = _table(args)
+    if not t.exists():
+        t.create(TARGET_BASE_SCHEMA)
+    print(json.dumps({"table": args.table, "version": t.current_version()}))
+
+
+def cmd_replay(spark, args) -> None:
+    from nostr_data_pipeline_spark.cdc.replayer import replay_log
+
+    t = _table(args)
+    res = replay_log(spark, t, args.log, n_batches=args.batches,
+                     lww_mode=args.lww_mode)
+    print(json.dumps({"rows_applied": res.rows_applied,
+                      "batches": len(res.batches),
+                      "version": t.current_version()}))
+
+
+def cmd_stream(spark, args) -> None:
+    from nostr_data_pipeline_spark.streaming.replayer import StreamingReplayer
+
+    rep = StreamingReplayer(_table(args), args.log, args.checkpoint,
+                            lww_mode=args.lww_mode)
+    metrics = rep.run_to_completion(spark)
+    print(json.dumps({"metrics": metrics}))
+
+
+def cmd_stats(spark, args) -> None:
+    """Network-stats analogue (reference cli.py `stats`)."""
+    t = _table(args)
+    df = t.read(spark)
+    row = df.agg(
+        F.count(F.lit(1)).alias("files"),
+        F.countDistinct("repo").alias("repos"),
+        F.countDistinct("lang").alias("languages"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.max("updated_ts").alias("last_update"),
+    ).first()
+    print(json.dumps({k: row[k] for k in row.asDict()}, default=str))
+
+
+def cmd_trending(spark, args) -> None:
+    """Trending analogue: most-updated repos (reference cli.py `trending`)."""
+    t = _table(args)
+    out = (
+        t.read(spark).groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("files"), F.max("last_seq").alias("latest_seq"))
+        .orderBy(F.col("latest_seq").desc())
+        .limit(args.limit)
+    )
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+
+
+def cmd_top_repos(spark, args) -> None:
+    """Top-zapped analogue: repos by total content bytes."""
+    t = _table(args)
+    out = (
+        t.read(spark).groupBy("repo")
+        .agg(F.sum(F.length("content")).alias("bytes"),
+             F.count(F.lit(1)).alias("files"))
+        .orderBy(F.col("bytes").desc())
+        .limit(args.limit)
+    )
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+
+
+def cmd_file(spark, args) -> None:
+    """Point lookup (reference cli.py `user`)."""
+    t = _table(args)
+    rows = (
+        t.read(spark)
+        .filter((F.col("repo") == args.repo) & (F.col("path") == args.path))
+        .collect()
+    )
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    if not rows:
+        print(json.dumps({"error": "not found"}))
+
+
+def cmd_vacuum(spark, args) -> None:
+    t = _table(args)
+    removed = t.vacuum(keep_versions=args.keep)
+    print(json.dumps({"data_dirs_removed": removed}))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="nostr-data-pipeline-spark")
+    p.add_argument("--cores", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--table", required=True)
+        sp.add_argument("--buckets", type=int, default=32)
+
+    sp = sub.add_parser("init-db"); common(sp)
+    sp = sub.add_parser("replay"); common(sp)
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--batches", type=int, default=1)
+    sp.add_argument("--lww-mode", default="maxseq")
+    sp = sub.add_parser("stream"); common(sp)
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--lww-mode", default="maxseq")
+    sp = sub.add_parser("stats"); common(sp)
+    sp = sub.add_parser("trending"); common(sp)
+    sp.add_argument("--limit", type=int, default=10)
+    sp = sub.add_parser("top-repos"); common(sp)
+    sp.add_argument("--limit", type=int, default=10)
+    sp = sub.add_parser("file"); common(sp)
+    sp.add_argument("--repo", required=True)
+    sp.add_argument("--path", required=True)
+    sp = sub.add_parser("vacuum"); common(sp)
+    sp.add_argument("--keep", type=int, default=2)
+
+    args = p.parse_args(argv)
+    from nostr_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("cli", cores=args.cores)
+    handlers = {
+        "init-db": cmd_init_db, "replay": cmd_replay, "stream": cmd_stream,
+        "stats": cmd_stats, "trending": cmd_trending, "top-repos": cmd_top_repos,
+        "file": cmd_file, "vacuum": cmd_vacuum,
+    }
+    handlers[args.cmd](spark, args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

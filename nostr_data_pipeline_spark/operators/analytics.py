@@ -724,6 +724,140 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def f4_like_lookup(spark, sf_dir):
+    """F4: partial-key LIKE lookup (dashboard/pages/4_Users.py:171-176)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_name").like("%0042%"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+F4_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_name LIKE '%0042%' ORDER BY c_custkey
+"""
+
+
+def f5_null_predicates(spark, sf_dir):
+    """F5: NULL predicates (aggregator.py:213-219). The testdata has no null
+    columns, so the predicate is over a derived nullable: JSON field k only
+    when > 90 (nullif-style)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    k_high = F.when(k > 90, k)
+    return (
+        e.select("event_type", k_high.alias("k_high"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k_high").isNotNull(), 1)).alias("n_not_null"),
+            F.count(F.when(F.col("k_high").isNull(), 1)).alias("n_null"),
+        )
+        .orderBy("event_type")
+    )
+
+
+F5_SQL = """
+SELECT event_type,
+       count(*) FILTER (k_high IS NOT NULL) AS n_not_null,
+       count(*) FILTER (k_high IS NULL) AS n_null
+FROM (
+  SELECT event_type,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 90
+              THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k_high
+  FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def a1_conditional_counts(spark, sf_dir):
+    """A1: the reference's N separate scalar-count queries
+    (aggregator.py:285-347) fused into ONE scan with conditional aggregation
+    — at 100 TB this is 1 pass instead of 13."""
+    e = load(spark, sf_dir, "events")
+    lo = F.lit("2024-01-05 00:00:00")
+    return e.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").alias("total_users"),
+        F.count(F.when(F.col("ts") >= lo, 1)).alias("events_recent"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+                      .otherwise(0.0)), 2).alias("purchase_value"),
+        F.count(F.when((F.col("event_type") == "signup") & (F.col("ts") >= lo), 1))
+        .alias("signups_recent"),
+    )
+
+
+A1_SQL = """
+SELECT count(*) AS total_events,
+       count(DISTINCT user_id) AS total_users,
+       count(*) FILTER (ts >= TIMESTAMP '2024-01-05 00:00:00') AS events_recent,
+       count(*) FILTER (event_type = 'purchase') AS purchases,
+       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0), 2) AS purchase_value,
+       count(*) FILTER (event_type = 'signup' AND ts >= TIMESTAMP '2024-01-05 00:00:00')
+           AS signups_recent
+FROM events
+"""
+
+
+def m2_trend_score(spark, sf_dir):
+    """M2: trending tokens with the reference's trend-score formula
+    (metrics_calculator.py:60-92) applied post-aggregation — A6 + M2 fused."""
+    from nostr_data_pipeline_spark.functions.metrics import trend_score
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("mentions"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    scored = agg.select(
+        "token", "mentions", "n_sources",
+        trend_score(F.col("mentions"), F.col("n_sources"), F.lit(0), F.lit(24))
+        .alias("trend"),
+    )
+    return (
+        scored.filter(F.col("mentions") >= 5)
+        .orderBy(F.col("trend").desc(), F.col("token"))
+        .limit(15)
+    )
+
+
+M2_SQL = """
+SELECT token, mentions, n_sources,
+       round((mentions / 24.0) * ln(1 + n_sources) * (1 + ln(1 + 0)), 2) AS trend
+FROM (
+  SELECT token, count(*) AS mentions, count(DISTINCT source) AS n_sources
+  FROM (SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents)
+  GROUP BY token
+)
+WHERE mentions >= 5
+ORDER BY trend DESC, token LIMIT 15
+"""
+
+
+def a2_approx_variants(spark, sf_dir):
+    """The 10^10-scale variants of A2/A10: HLL distinct + approximate
+    percentiles (sketch-based, one pass, bounded memory). No SQL oracle —
+    sketch internals differ across engines; the driver records rows-only."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -756,4 +890,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprint_sha256": (fingerprint_sha256, FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
+    "f4_like_lookup": (f4_like_lookup, F4_SQL),
+    "f5_null_predicates": (f5_null_predicates, F5_SQL),
+    "a1_conditional_counts": (a1_conditional_counts, A1_SQL),
+    "m2_trend_score": (m2_trend_score, M2_SQL),
+    "a2_approx_variants": (a2_approx_variants, None),  # sketch ops: rows-only
 }

@@ -69,12 +69,24 @@ def minhash_near_duplicates(
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
-    banded = base.select(
+    )
+    # Signature via explode + k primitive min-aggregates: every buffer is a
+    # long, so this stays a whole-stage-codegen HashAggregate with map-side
+    # combine. (The one-liner array_min(transform(...)) x k alternative in
+    # minhash_signature() builds an expression tree too large for codegen and
+    # falls back to interpreted eval — measured ~10x slower.)
+    exploded = base.select("_id", F.explode("_sh").alias("_s"))
+    hashed = exploded.select(
+        "_id", *[F.xxhash64(F.lit(h), F.col("_s")).alias(f"_h{h}") for h in range(num_hashes)]
+    )
+    sig = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{h}").alias(f"_h{h}") for h in range(num_hashes)]
+    )
+    banded = sig.join(base, "_id").select(
         "_id", "_sh",
         F.posexplode(
             F.array(*[
-                F.xxhash64(F.lit(b), F.slice(F.col("_sig"), b * rows + 1, rows))
+                F.xxhash64(F.lit(b), *[F.col(f"_h{b * rows + i}") for i in range(rows)])
                 for b in range(bands)
             ])
         ).alias("_band", "_bhash"),

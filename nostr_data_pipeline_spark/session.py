@@ -62,6 +62,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # Keep scans parallel even for few large files at bench scale.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Equi-joins on bucket-pruned inputs: hash join skips the sort of
+        # wide payload rows (MERGE join, LWW winner join). AQE still falls
+        # back to SMJ when a build side would not fit.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if master.startswith("local-cluster"):
         # executor python workers must resolve this package for mapInPandas

@@ -1,0 +1,54 @@
+"""CLI surface smoke: init-db / replay / stats / trending / file / vacuum."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    log = str(d / "log")
+    write_log(log, LogSpec(n_events=1500, n_repos=6, paths_per_repo=8, seed=13, n_files=2))
+    return {"log": log, "table": str(d / "tbl")}
+
+
+def run_cli(*argv) -> str:
+    proc = subprocess.run(
+        [sys.executable, "-m", "nostr_data_pipeline_spark.cli", "--cores", "4", *argv],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    return proc.stdout.strip().splitlines()
+
+
+def test_cli_end_to_end(env):
+    out = run_cli("init-db", "--table", env["table"])
+    assert json.loads(out[-1])["version"] == 1
+
+    out = run_cli("replay", "--table", env["table"], "--log", env["log"], "--batches", "2")
+    rep = json.loads(out[-1])
+    assert rep["rows_applied"] > 0 and rep["batches"] == 2
+
+    out = run_cli("stats", "--table", env["table"])
+    stats = json.loads(out[-1])
+    assert stats["files"] > 0 and stats["repos"] <= 6
+
+    out = run_cli("trending", "--table", env["table"], "--limit", "3")
+    assert len([json.loads(x) for x in out if x.startswith("{")]) <= 3
+
+    row = json.loads(run_cli("top-repos", "--table", env["table"], "--limit", "1")[-1])
+    first = json.loads(
+        run_cli("file", "--table", env["table"], "--repo", row["repo"],
+                "--path", "src/dir0/file000.py")[-1]
+    )
+    assert "error" in first or first["repo"] == row["repo"]
+
+    out = run_cli("vacuum", "--table", env["table"])
+    assert "data_dirs_removed" in json.loads(out[-1])
