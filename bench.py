@@ -36,6 +36,9 @@ def main() -> None:
         "a9_pivot_timeline", "c6_json_extract", "dedup_exact",
         "sim_cosine_topk", "m1_virality_score",
     ]
+    # untimed warm-up: JVM codegen + python workers (not any query's cost)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000).count()
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name][0]

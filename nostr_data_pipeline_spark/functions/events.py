@@ -110,6 +110,33 @@ def bolt11_msats(bolt11: Column) -> Column:
     return F.when(num.isNotNull(), (num * mult).cast("long"))
 
 
+def parse_zap_receipt(tags: Column) -> Column:
+    """C7 (event_processor.py:164-208): walk a zap receipt's tags for
+    description / bolt11 / preimage / target event ('e') / target pubkey
+    ('p'); the description tag is itself JSON carrying the zap request,
+    from which sender pubkey + comment come. Returns a struct column:
+    (bolt11, preimage, target_event_id, target_pubkey, sender_pubkey,
+    comment, amount_msats)."""
+
+    def tag_val(name: str) -> Column:
+        return F.try_element_at(
+            F.filter(tags, lambda t: (F.size(t) >= 2) & (t[0] == name)), F.lit(1)
+        )[1]
+
+    desc = tag_val("description")
+    req = F.from_json(desc, "pubkey string, content string")
+    bolt11 = tag_val("bolt11")
+    return F.struct(
+        bolt11.alias("bolt11"),
+        tag_val("preimage").alias("preimage"),
+        tag_val("e").alias("target_event_id"),
+        tag_val("p").alias("target_pubkey"),
+        req["pubkey"].alias("sender_pubkey"),
+        req["content"].alias("comment"),
+        bolt11_msats(bolt11).alias("amount_msats"),
+    )
+
+
 def msats_to_sats(msats: Column) -> Column:
     """C9 (event_processor.py:204): floor-div 1000; null -> 0."""
     return F.coalesce((msats / 1000).cast("long"), F.lit(0))

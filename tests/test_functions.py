@@ -113,6 +113,28 @@ def test_is_like_and_urls(spark):
     assert got == [True, True, False]
 
 
+def test_zap_receipt_parse(spark):
+    # C7: full receipt walk incl. JSON description (event_processor.py:164-208)
+    df = one(
+        spark, content="",
+        tags=[
+            ["bolt11", "lnbc21u1xyz"],
+            ["description", '{"pubkey": "sender-pk", "content": "great post!"}'],
+            ["preimage", "deadbeef"],
+            ["e", "target-event"],
+            ["p", "target-pk"],
+        ],
+    )
+    z = df.select(EV.parse_zap_receipt(F.col("tags")).alias("z")).first()["z"]
+    assert z["bolt11"] == "lnbc21u1xyz"
+    assert z["preimage"] == "deadbeef"
+    assert z["target_event_id"] == "target-event"
+    assert z["target_pubkey"] == "target-pk"
+    assert z["sender_pubkey"] == "sender-pk"
+    assert z["comment"] == "great post!"
+    assert z["amount_msats"] == 2100  # 21u * 100
+
+
 # --- M-family ---------------------------------------------------------------
 
 def _scalar(spark, col):
