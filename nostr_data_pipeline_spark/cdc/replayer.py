@@ -145,7 +145,16 @@ def replay_batch(
         table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
 
     data = batch.filter(F.col("op") != "schema_change")
+    # rows_seen rides the existing job via observe (no extra pass) -> the
+    # reference's received/deduped counters (pipeline.py:38-44, T2/A14)
+    from pyspark.sql import Observation
+    import uuid as _uuid
+
+    obs = Observation(f"batch-{_uuid.uuid4().hex[:8]}")
+    data = data.observe(obs, F.count(F.lit(1)).alias("rows_seen"))
     resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt)
+    obs2 = Observation(f"resolved-{_uuid.uuid4().hex[:8]}")
+    resolved = resolved.observe(obs2, F.count(F.lit(1)).alias("rows_resolved"))
     # the resolved batch feeds three consumers (lineage agg, bucket pruning,
     # the merge join) — cache it so LWW runs once per batch
     resolved = resolved.persist()
@@ -164,6 +173,12 @@ def replay_batch(
                 extra_metrics={"lineage_rows_per_bucket": lineage} if lineage else None,
             )
         )
+        rows_seen = obs.get.get("rows_seen", 0)
+        rows_resolved = obs2.get.get("rows_resolved", 0)
+        metrics["rows_seen"] = rows_seen
+        metrics["rows_resolved"] = rows_resolved
+        # duplicates + LWW-superseded rows per batch (reference T2/A14 counters)
+        metrics["rows_superseded_or_duplicate"] = max(0, rows_seen - rows_resolved)
     finally:
         resolved.unpersist()
     return metrics

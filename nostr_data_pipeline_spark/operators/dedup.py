@@ -175,14 +175,42 @@ def simhash_chunks(text_col, chunk_bits: int = 16, n_chunks: int = 4) -> list[F.
     return cols
 
 
+def simhash_fingerprint(
+    df: DataFrame, id_col: str, text_col: str,
+    chunk_bits: int = 16, n_chunks: int = 4,
+) -> DataFrame:
+    """(_id, chunk0..chunk3) via explode + 64 primitive sum-aggregates — a
+    whole-stage-codegen HashAggregate (one pass over tokens), unlike
+    simhash_chunks' 64 aggregate() traversals per row (kept as the
+    single-column expression form for inline use on small data)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(chunk_bits * n_chunks)
+    ]
+    agg = toks.groupBy("_id").agg(*votes)
+    chunk_cols = []
+    for c in range(n_chunks):
+        col = F.lit(0)
+        for b in range(chunk_bits):
+            i = c * chunk_bits + b
+            col = col + F.when(F.col(f"_v{i}") > 0, F.lit(2 ** b)).otherwise(0)
+        chunk_cols.append(col.cast("int").alias(f"chunk{c}"))
+    return agg.select("_id", *chunk_cols)
+
+
 def simhash_near_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
     """(id1, id2, hamming) for pairs within max_hamming bits of 64. Candidate
     iff one 16-bit chunk matches exactly (pigeonhole for hamming<=3)."""
-    chunks = simhash_chunks(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), *chunks)
+    base = simhash_fingerprint(df, id_col, text_col)
     banded = base.select(
         "_id", "chunk0", "chunk1", "chunk2", "chunk3",
         F.posexplode(F.array("chunk0", "chunk1", "chunk2", "chunk3")).alias("_band", "_bh"),
