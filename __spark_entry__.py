@@ -9,17 +9,63 @@ driver's calling convention.
 
 from __future__ import annotations
 
+import functools
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 SF0001 = "/root/testdata/sf0.001"
 
+# The driver may import this file from any cwd; make the package importable
+# on the driver unconditionally.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile zip) exactly once per
+    SparkContext. Closures that *are* self-contained don't need this, but a
+    driver launched outside the repo (no --py-files) would otherwise lose any
+    by-reference pickled symbol on the Python workers."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    pkg_dir = os.path.join(_REPO, "nostr_data_pipeline_spark")
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"ndps_pkg_{os.getpid()}_{id(sc)}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
+def _shipping(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: grouped multi-aggregate pricing summary (SURVEY A3/A4/A5)."""
     from nostr_data_pipeline_spark.operators.analytics import q1_pricing_summary
 
+    _ensure_shipped(spark)
     return q1_pricing_summary(spark, SF0001)
 
 
@@ -27,12 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from nostr_data_pipeline_spark.operators.analytics import QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: fn for name, (fn, _sql) in QUERIES.items()
+        name: _shipping(fn) for name, (fn, _sql) in QUERIES.items()
     }
     try:  # rows-only operators (no SQL-expressible oracle)
         from nostr_data_pipeline_spark.operators.dedup import ROWS_ONLY_QUERIES
 
-        out.update(ROWS_ONLY_QUERIES)
+        out.update({name: _shipping(fn) for name, fn in ROWS_ONLY_QUERIES.items()})
     except ImportError:
         pass
     return out

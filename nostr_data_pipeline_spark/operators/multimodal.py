@@ -87,15 +87,35 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
 
 def extract_features(df: DataFrame, dim: int = 64, strict: bool = False) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches). ``strict``
-    raises NotImplementedError at the decode point (the honest stub)."""
+    raises NotImplementedError at the decode point (the honest stub).
+
+    The generator must be SELF-CONTAINED (no references to this module's
+    globals): cloudpickle serializes module-level functions by reference, so
+    a worker whose PYTHONPATH lacks this package would fail to unpickle.
+    Inlining keeps the job runnable from any driver cwd / without --py-files.
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as pd
+
+        def fake_feature(payload: bytes, d: int) -> _np.ndarray:
+            h = _hl.sha256(payload).digest()
+            seed = int.from_bytes(h[:8], "big")
+            hist = _np.bincount(_np.frombuffer(payload, dtype=_np.uint8), minlength=256)
+            base = hist[:d] if d <= 256 else _np.pad(hist, (0, d - 256))
+            mix = _np.random.default_rng(seed).standard_normal(d) * 0.01
+            v = base.astype(_np.float64) / max(len(payload), 1) + mix
+            return (v / max(_np.linalg.norm(v), 1e-12)).astype(_np.float32)
+
         for pdf in batches:
             if strict:
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg; not in this container"
                 )
-            feats = [_fake_feature(p, dim) for p in pdf["payload"]]
+            feats = [fake_feature(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
