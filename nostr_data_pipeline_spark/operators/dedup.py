@@ -33,14 +33,26 @@ def tokenize(text_col) -> F.Column:
     return F.split(F.trim(text_col), r"\s+")
 
 
-def shingles(text_col, n: int = 3) -> F.Column:
-    """Distinct n-gram (word) shingles as an array<string> column."""
-    toks = tokenize(text_col)
+def shingles_of_tokens(toks, n: int = 3) -> F.Column:
+    """Distinct n-gram shingles from a pre-tokenized array column. Callers
+    should materialize the token array in a prior select: higher-order
+    lambdas re-evaluate any embedded subtree per element, so putting
+    ``split()`` inside would tokenize once per shingle instead of once per
+    row (O(tokens^2) regex work)."""
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), count)
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
+
+
+def shingles(text_col, n: int = 3) -> F.Column:
+    """Distinct n-gram (word) shingles as an array<string> column. The
+    token array is bound once as a lambda variable (array-wrap trick) so the
+    split runs once per row even inside the per-shingle transform."""
+    return F.transform(
+        F.array(tokenize(text_col)), lambda toks: shingles_of_tokens(toks, n)
+    )[0]
 
 
 def minhash_signature(shingle_col, num_hashes: int = 32) -> F.Column:
@@ -68,8 +80,8 @@ def minhash_near_duplicates(
     num_hashes/bands rows; a pair is a candidate iff some band hashes equal."""
     rows = num_hashes // bands
     base = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
-    )
+        F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_toks")
+    ).select("_id", shingles_of_tokens(F.col("_toks"), shingle_n).alias("_sh"))
     # Signature via explode + k primitive min-aggregates: every buffer is a
     # long, so this stays a whole-stage-codegen HashAggregate with map-side
     # combine. (The one-liner array_min(transform(...)) x k alternative in
@@ -82,8 +94,12 @@ def minhash_near_duplicates(
     sig = hashed.groupBy("_id").agg(
         *[F.min(f"_h{h}").alias(f"_h{h}") for h in range(num_hashes)]
     )
-    banded = sig.join(base, "_id").select(
-        "_id", "_sh",
+    # Band rows stay NARROW (id, band, bandhash): the shingle arrays would
+    # otherwise be replicated `bands` times through the explode and shipped
+    # through the self-join shuffle. Shingles rejoin only for the (far
+    # smaller) deduped candidate set.
+    banded = sig.select(
+        "_id",
         F.posexplode(
             F.array(*[
                 F.xxhash64(F.lit(b), *[F.col(f"_h{b * rows + i}") for i in range(rows)])
@@ -100,16 +116,17 @@ def minhash_near_duplicates(
             & (F.col("l._bhash") == F.col("r._bhash"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id1"), F.col("r._id").alias("id2"),
-            F.col("l._sh").alias("sh1"), F.col("r._sh").alias("sh2"),
-        )
+        .select(F.col("l._id").alias("id1"), F.col("r._id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
+    )
+    verif = (
+        cand.join(base.select(F.col("_id").alias("id1"), F.col("_sh").alias("sh1")), "id1")
+        .join(base.select(F.col("_id").alias("id2"), F.col("_sh").alias("sh2")), "id2")
     )
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size(F.array_union("sh1", "sh2")).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 4))
+        verif.withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
         .orderBy(F.col("jaccard").desc(), "id1", "id2")
@@ -123,9 +140,11 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over blocked candidate pairs. Blocking key = the
     first `band_tokens` tokens (cheap prefix blocking); exact verify after."""
     base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), shingle_n).alias("_sh"),
-        F.concat_ws(" ", F.slice(tokenize(F.col(text_col)), 1, band_tokens)).alias("_blk"),
+        F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_toks")
+    ).select(
+        "_id",
+        shingles_of_tokens(F.col("_toks"), shingle_n).alias("_sh"),
+        F.concat_ws(" ", F.slice(F.col("_toks"), 1, band_tokens)).alias("_blk"),
     )
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
@@ -342,7 +361,10 @@ def q_multimodal_features(spark, sf_dir):
         synthetic_media,
     )
 
-    return extract_features(synthetic_media(spark, n=64), dim=32)
+    # 64 demo rows: right-size partitions so we don't spin up one Python
+    # worker per core for a 2-row task (real inputs get their partitioning
+    # from the source).
+    return extract_features(synthetic_media(spark, n=64).coalesce(8), dim=32)
 
 
 ROWS_ONLY_QUERIES = {
