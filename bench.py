@@ -35,6 +35,7 @@ def main() -> None:
         "w1_latest_per_key", "w3_lww_state", "a10_percentiles",
         "a9_pivot_timeline", "c6_json_extract", "dedup_exact",
         "sim_cosine_topk", "m1_virality_score",
+        "dedup_ngram_jaccard", "dedup_embedding_cosine",
     ]
     # untimed warm-up: JVM codegen + python workers (not any query's cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000).count()
@@ -63,6 +64,14 @@ def main() -> None:
         )
         log_dir = os.path.join(tmp, "log")
         write_log(log_dir, spec)  # generation excluded from timing
+        # Untimed warm-up replay of the SAME log into a throwaway table:
+        # first-replay costs (Python worker spawn, Arrow serializer init,
+        # whole-stage codegen compile, cold page cache) are per-JVM one-offs,
+        # not per-event work. The timed run below measures steady-state
+        # replay throughput — the same protocol bench_scaling.py uses.
+        warm_table = SnapshotTable(os.path.join(tmp, "warmtbl"), num_buckets=32)
+        replay_log(spark, warm_table, log_dir, collect_lineage=False)
+
         table = SnapshotTable(os.path.join(tmp, "tbl"), num_buckets=32)
         t0 = time.perf_counter()
         result = replay_log(spark, table, log_dir, n_batches=cdc_batches,

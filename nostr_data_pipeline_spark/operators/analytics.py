@@ -859,6 +859,76 @@ def a2_approx_variants(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SQL oracles for the two dedup operators whose results are exactly
+# SQL-expressible (unlike the xxhash64-based MinHash/SimHash candidates).
+# ---------------------------------------------------------------------------
+
+NGRAM_JACCARD_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh,
+         array_to_string(tk[1:2], ' ') AS blk
+  FROM t
+), p AS (
+  SELECT l.doc_id AS id1, r.doc_id AS id2,
+         round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(l.sh, r.sh))), 4) AS jaccard
+  FROM s l JOIN s r ON l.blk = r.blk AND l.doc_id < r.doc_id
+)
+SELECT * FROM p WHERE jaccard >= 0.2 ORDER BY jaccard DESC, id1, id2
+"""
+
+
+def _emb_dedup_sql() -> str:
+    """DuckDB replica of embedding_near_duplicates(threshold=0.5): the
+    deterministic hyperplanes (seeded numpy) are inlined as list literals so
+    the oracle reproduces the LSH blocking bit-for-bit; the dot products sum
+    in the same index order on both engines, so doubles agree exactly."""
+    from nostr_data_pipeline_spark.operators.dedup import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+    plane_cols = ", ".join(
+        "[" + ",".join(repr(float(x)) for x in p) + f"]::DOUBLE[] AS p{i}"
+        for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, p{i}) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pl AS (
+  SELECT {plane_cols}
+), b AS (
+  SELECT id, v, {bucket} AS bkt FROM base, pl
+), c AS (
+  SELECT l.id AS id1, r.id AS id2,
+         round(list_dot_product(l.v, r.v) /
+               (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+               4) AS cos_sim
+  FROM b l JOIN b r ON l.bkt = r.bkt AND l.id < r.id
+)
+SELECT * FROM c WHERE cos_sim >= 0.5 ORDER BY cos_sim DESC, id1, id2
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.dedup import q_ngram_jaccard
+
+    return q_ngram_jaccard(spark, sf_dir)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.dedup import q_dedup_embedding
+
+    return q_dedup_embedding(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -895,4 +965,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a1_conditional_counts": (a1_conditional_counts, A1_SQL),
     "m2_trend_score": (m2_trend_score, M2_SQL),
     "a2_approx_variants": (a2_approx_variants, None),  # sketch ops: rows-only
+    "dedup_ngram_jaccard": (_q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),
 }

@@ -367,11 +367,11 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synthetic_media(spark, n=64).coalesce(8), dim=32)
 
 
+# ngram_jaccard and embedding_cosine graduated to full SQL oracles (their
+# results are hash-function-free) — registered in analytics.QUERIES instead.
 ROWS_ONLY_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
-    "dedup_ngram_jaccard": q_ngram_jaccard,
-    "dedup_embedding_cosine": q_dedup_embedding,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
