@@ -858,6 +858,75 @@ def a2_approx_variants(spark, sf_dir):
     )
 
 
+def a15_rollup(spark, sf_dir):
+    """A15 (beyond the reference — grouping sets are absent there, SURVEY
+    §2.4): ROLLUP over (returnflag, linestatus) producing subtotal and
+    grand-total rows in one pass (Catalyst Expand + single hash agg, no
+    re-scan per grouping level)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+A15_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def w4_running_total(spark, sf_dir):
+    """W4 (beyond the reference — frame specs/running totals are absent
+    there, SURVEY §2.5): per-customer running order total in order-date
+    order, explicit rowsBetween frame."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            ).alias("order_rank"),
+        )
+        .filter(F.col("order_rank") <= 3)
+        .orderBy("o_custkey", "order_rank")
+    )
+
+
+W4_SQL = """
+SELECT o_custkey, o_orderkey, running_total, order_rank FROM (
+  SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total,
+         row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS order_rank
+  FROM orders
+) WHERE order_rank <= 3 ORDER BY o_custkey, order_rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles for the two dedup operators whose results are exactly
 # SQL-expressible (unlike the xxhash64-based MinHash/SimHash candidates).
@@ -967,4 +1036,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a2_approx_variants": (a2_approx_variants, None),  # sketch ops: rows-only
     "dedup_ngram_jaccard": (_q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),
+    "a15_rollup": (a15_rollup, A15_SQL),
+    "w4_running_total": (w4_running_total, W4_SQL),
 }
