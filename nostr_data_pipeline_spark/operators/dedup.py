@@ -235,7 +235,17 @@ def simhash_near_duplicates(
         F.posexplode(F.array("chunk0", "chunk1", "chunk2", "chunk3")).alias("_band", "_bh"),
     )
     l, r = banded.alias("l"), banded.alias("r")
-    cand = (
+    ham = sum(
+        F.bit_count(
+            F.col(f"l.chunk{c}").cast("long").bitwiseXOR(F.col(f"r.chunk{c}").cast("long"))
+        )
+        for c in range(4)
+    )
+    # hamming is computed and filtered BEFORE the pair dedup: the raw
+    # candidate stream (every band collision; ~15x the surviving pairs on
+    # collision-heavy data) stays inside the join's codegen stage, and only
+    # matching narrow (id1, id2, hamming) rows hit the dedup shuffle.
+    return (
         l.join(
             r,
             (F.col("l._band") == F.col("r._band"))
@@ -244,18 +254,10 @@ def simhash_near_duplicates(
         )
         .select(
             F.col("l._id").alias("id1"), F.col("r._id").alias("id2"),
-            *[F.col(f"l.chunk{c}").alias(f"a{c}") for c in range(4)],
-            *[F.col(f"r.chunk{c}").alias(f"b{c}") for c in range(4)],
+            ham.alias("hamming"),
         )
-        .dropDuplicates(["id1", "id2"])
-    )
-    ham = sum(
-        F.bit_count(F.col(f"a{c}").cast("long").bitwiseXOR(F.col(f"b{c}").cast("long")))
-        for c in range(4)
-    )
-    return (
-        cand.select("id1", "id2", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
         .orderBy("hamming", "id1", "id2")
     )
 
