@@ -16,7 +16,10 @@ Each level runs in a fresh process with an untimed warm-up replay first.
 Prints one JSON line with throughput at both sizes + scaling efficiency
 T(4N) / (4 * T(N)).
 
-Usage: python bench_scaling.py [events] [n_exec_lo] [n_exec_hi] [cores_per_exec]
+Usage: python bench_scaling.py [events] [n_exec_lo] [n_exec_hi] [cores_per_exec] [trials]
+
+With trials > 1 the levels run interleaved (A/B/A/B) and the best time per
+level is reported (noise on a shared host only ever adds time).
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ WORKER = r"""
 import json, os, sys, time
 n_exec = int(sys.argv[1]); cores = int(sys.argv[2]); log_dir = sys.argv[3]
 out_dir = sys.argv[4]; delivered = int(sys.argv[5])
+lww_mode = os.environ.get("SPARK_GRAFT_SCALE_LWW", "maxseq")
 total_cores = n_exec * cores
 from nostr_data_pipeline_spark.session import get_spark
 spark = get_spark(
@@ -40,6 +44,10 @@ spark = get_spark(
     master=f"local-cluster[{n_exec},{cores},12288]",
     extra_conf={
         "spark.driver.memory": "8g",
+        # local-cluster[n, cores, mem] caps the WORKER; the executor request
+        # itself defaults to 1g (≈400MB storage) — too small for the LWW
+        # winner broadcast at large key cardinality
+        "spark.executor.memory": "10g",
         # each executor JVM must size GC/JIT pools to ITS cores, not the
         # host's 32 (4 JVMs x 32 GC threads would thrash), and default G1
         # anti-scales on this host (see session.py)
@@ -54,11 +62,11 @@ warm = SnapshotTable(os.path.join(out_dir, "warm"), num_buckets=8)
 wdir = os.path.join(out_dir, "warmlog")
 spark.read.schema(LOG_SCHEMA).parquet(log_dir).limit(20000) \
     .write.mode("overwrite").parquet(wdir)
-replay_log(spark, warm, wdir, n_batches=1, collect_lineage=False)
+replay_log(spark, warm, wdir, n_batches=1, collect_lineage=False, lww_mode=lww_mode)
 # timed run
 table = SnapshotTable(os.path.join(out_dir, "tbl"), num_buckets=max(32, total_cores))
 t0 = time.perf_counter()
-replay_log(spark, table, log_dir, n_batches=1, collect_lineage=False)
+replay_log(spark, table, log_dir, n_batches=1, collect_lineage=False, lww_mode=lww_mode)
 dt = time.perf_counter() - t0
 print(json.dumps({"executors": n_exec, "cores_per_executor": cores,
                   "total_cores": total_cores, "sec": round(dt, 2),
@@ -122,8 +130,22 @@ def main() -> None:
         else:
             write_log(log_dir, spec)
         delivered = int(events * (1 + spec.dup_rate)) + len(spec.schema_changes)
-        lo = run_at(n_lo, cores, log_dir, delivered)
-        hi = run_at(n_hi, cores, log_dir, delivered)
+        trials = int(sys.argv[5]) if len(sys.argv) > 5 else int(
+            os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "1")
+        )
+        # Interleaved A/B/A/B trials, best-of per level: this is a shared
+        # host — co-tenant load drifts over minutes and only ever ADDS time,
+        # so the minimum is the least-contaminated estimate and interleaving
+        # keeps drift from biasing one level.
+        lo_runs, hi_runs = [], []
+        for _ in range(trials):
+            lo_runs.append(run_at(n_lo, cores, log_dir, delivered))
+            hi_runs.append(run_at(n_hi, cores, log_dir, delivered))
+        lo = min(lo_runs, key=lambda r: r["sec"])
+        hi = min(hi_runs, key=lambda r: r["sec"])
+        if trials > 1:
+            lo["trial_secs"] = [r["sec"] for r in lo_runs]
+            hi["trial_secs"] = [r["sec"] for r in hi_runs]
         factor = n_hi / n_lo
         eff = hi["events_per_sec"] / (factor * lo["events_per_sec"])
         print(json.dumps({

@@ -10,9 +10,14 @@ Three implementations, all skew-safe at 10^10 events:
 - ``mode='maxseq'`` (default, fastest): two narrow passes. Pass 1 computes
   ``max(seq)`` per key — a TRUE HashAggregate with map-side combine over a
   pruned scan (only key + seq columns are read; the content payload never
-  moves). Pass 2 joins the winner seqs back and keeps matching rows, then a
-  residual tie-resolve (equal seq, different event_id — rare) on the tiny
-  winner set. The wide payload crosses the wire exactly once, un-sorted.
+  moves). Pass 2 joins the winner seqs back with an explicit BROADCAST hint:
+  the winner side is (key, seq) only — ~60 bytes/key — so the wide payload
+  is filtered MAP-SIDE and never hits a shuffle at all; only the surviving
+  ~one-row-per-key candidates shuffle for the residual tie-resolve (equal
+  seq, different event_id — rare). At extreme key cardinality (winners no
+  longer fit an executor: >~50M live keys per batch) use
+  ``mode='maxseq_shuffle'`` — same plan with a shuffle join, where the wide
+  payload crosses the wire exactly once, un-sorted.
 - ``mode='agg'``: ``max_by(struct(*), struct(seq, event_id))`` aggregation.
   One-pass and elegant, but struct aggregation buffers are not
   HashAggregate-compatible, so Spark plans a SortAggregate — the full batch
@@ -44,8 +49,10 @@ def resolve_lww(
     """Reduce to exactly one row per key: the (seq, tie)-max winner.
     Preserves all input columns."""
     payload = [c for c in df.columns if c not in key_cols]
-    if mode == "maxseq":
+    if mode in ("maxseq", "maxseq_shuffle"):
         winners = df.groupBy(*key_cols).agg(F.max(seq_col).alias("_max_seq"))
+        if mode == "maxseq":
+            winners = F.broadcast(winners)
         cand = (
             df.join(winners, list(key_cols), "inner")
             .filter(F.col(seq_col) == F.col("_max_seq"))

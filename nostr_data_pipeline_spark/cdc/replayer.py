@@ -123,65 +123,82 @@ def replay_batch(
     lww_mode: str = "maxseq",
     salt: int = 16,
     collect_lineage: bool = True,
+    cache_batch: bool = False,
 ) -> dict[str, Any]:
-    """Apply one micro-batch (data + schema_change rows mixed) exactly once."""
+    """Apply one micro-batch (data + schema_change rows mixed) exactly once.
+
+    ``cache_batch``: False (batch replay over a static DataFrame) leaves the
+    batch uncached — each consumer (schema-event collect, the LWW winner
+    broadcast build, the wide probe) re-scans the parquet, which is cheap and
+    side-effect-free, and rows_seen is an extra ``batch.count()`` answered
+    from file-footer metadata. True (streaming foreachBatch): the batch is
+    ``persist()``ed and materialized ONCE — a micro-batch's lineage contains
+    the STATEFUL dedup operator, and every extra evaluation (a count, the
+    broadcast build, the probe branch) would re-execute it against
+    already-committed state with no guarantee of stability. Micro-batches
+    are small; materializing them is the documented foreachBatch practice.
+    (A per-row observe() was used for rows_seen before — measured ~34% of
+    wall at 21.6M events; footer counts + cached counts are free.)"""
     m = table.manifest()
     last = m["commits"].get(stream_id)
     if last is not None and batch_id <= last:
         return {"skipped_replay": True, "batch_id": batch_id}
 
-    # Schema changes are rare, tiny rows -> driver-side collect is correct &
-    # cheap (filter pushes into the scan; no dedup shuffle needed — applying
-    # a schema event twice is idempotent). Evolution is ORDER-INDEPENDENT
-    # (virtual columns guarded by add_seq, see SnapshotTable.evolve_column),
-    # so no seq-epoch splitting is needed: apply the metadata commits, then
-    # merge the whole batch at once.
-    sc = (
-        batch.filter(F.col("op") == "schema_change")
-        .select("seq", "sc_col_name", "sc_col_type")
-        .collect()
-    )
-    for r in sorted(sc, key=lambda r: r["seq"]):
-        table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
-
-    data = batch.filter(F.col("op") != "schema_change")
-    # rows_seen rides the existing job via observe (no extra pass) -> the
-    # reference's received/deduped counters (pipeline.py:38-44, T2/A14)
-    from pyspark.sql import Observation
-    import uuid as _uuid
-
-    obs = Observation(f"batch-{_uuid.uuid4().hex[:8]}")
-    data = data.observe(obs, F.count(F.lit(1)).alias("rows_seen"))
-    resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt)
-    obs2 = Observation(f"resolved-{_uuid.uuid4().hex[:8]}")
-    resolved = resolved.observe(obs2, F.count(F.lit(1)).alias("rows_resolved"))
-    # the resolved batch feeds three consumers (lineage agg, bucket pruning,
-    # the merge join) — cache it so LWW runs once per batch
-    resolved = resolved.persist()
+    if cache_batch:
+        batch = batch.persist()
     try:
-        lineage = None
-        if collect_lineage:
-            lineage = {
-                str(r["_b"]): r["n"]
-                for r in resolved.groupBy(table.bucket_expr().alias("_b"))
-                .agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-        metrics: dict[str, Any] = {"batch_id": batch_id, "schema_changes": len(sc)}
-        metrics.update(
-            table.merge(
-                spark, resolved, stream_id=stream_id, batch_id=batch_id,
-                extra_metrics={"lineage_rows_per_bucket": lineage} if lineage else None,
-            )
+        # rows_seen: the reference's received/deduped counters
+        # (pipeline.py:38-44, T2/A14). Counting first also materializes the
+        # cache in the streaming path (single evaluation of stateful lineage).
+        rows_total = batch.count()
+
+        # Schema changes are rare, tiny rows -> driver-side collect is correct
+        # & cheap (filter pushes into the scan; no dedup shuffle needed —
+        # applying a schema event twice is idempotent). Evolution is
+        # ORDER-INDEPENDENT (virtual columns guarded by add_seq, see
+        # SnapshotTable.evolve_column), so no seq-epoch splitting is needed:
+        # apply the metadata commits, then merge the whole batch at once.
+        sc = (
+            batch.filter(F.col("op") == "schema_change")
+            .select("seq", "sc_col_name", "sc_col_type")
+            .collect()
         )
-        rows_seen = obs.get.get("rows_seen", 0)
-        rows_resolved = obs2.get.get("rows_resolved", 0)
-        metrics["rows_seen"] = rows_seen
-        metrics["rows_resolved"] = rows_resolved
-        # duplicates + LWW-superseded rows per batch (reference T2/A14 counters)
-        metrics["rows_superseded_or_duplicate"] = max(0, rows_seen - rows_resolved)
+        for r in sorted(sc, key=lambda r: r["seq"]):
+            table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
+        rows_seen = rows_total - len(sc)
+
+        data = batch.filter(F.col("op") != "schema_change")
+        resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt)
+        # the resolved batch feeds multiple consumers (counter, lineage agg,
+        # bucket pruning, the merge join) — cache it so LWW runs once per batch
+        resolved = resolved.persist()
+        try:
+            # materializes the cache; winners only, so this count is cheap
+            rows_resolved = resolved.count()
+            lineage = None
+            if collect_lineage:
+                lineage = {
+                    str(r["_b"]): r["n"]
+                    for r in resolved.groupBy(table.bucket_expr().alias("_b"))
+                    .agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+            metrics: dict[str, Any] = {"batch_id": batch_id, "schema_changes": len(sc)}
+            metrics.update(
+                table.merge(
+                    spark, resolved, stream_id=stream_id, batch_id=batch_id,
+                    extra_metrics={"lineage_rows_per_bucket": lineage} if lineage else None,
+                )
+            )
+            metrics["rows_seen"] = rows_seen
+            metrics["rows_resolved"] = rows_resolved
+            # duplicates + LWW-superseded rows per batch (reference T2/A14)
+            metrics["rows_superseded_or_duplicate"] = max(0, rows_seen - rows_resolved)
+        finally:
+            resolved.unpersist()
+        return metrics
     finally:
-        resolved.unpersist()
-    return metrics
+        if cache_batch:
+            batch.unpersist()
 
 
 def replay_log(

@@ -13,6 +13,7 @@ Usage (spark-submit or plain python):
   python -m nostr_data_pipeline_spark.cli top-repos --table /data/repo_files --limit 10
   python -m nostr_data_pipeline_spark.cli file --table /data/repo_files --repo R --path P
   python -m nostr_data_pipeline_spark.cli vacuum --table /data/repo_files
+  python -m nostr_data_pipeline_spark.cli lineage --table /data/repo_files --limit 20
 """
 
 from __future__ import annotations
@@ -120,6 +121,23 @@ def cmd_vacuum(spark, args) -> None:
     print(json.dumps({"data_dirs_removed": removed}))
 
 
+def cmd_lineage(spark, args) -> None:
+    """Health/lineage report (reference cli.py `relays`): one line per table
+    version with its commit metrics — rows inserted/updated/deleted, dedup
+    counters, schema changes, per-bucket lineage when recorded."""
+    t = _table(args)
+    cur = t.current_version()
+    for v in range(max(1, cur - args.limit + 1), cur + 1):
+        try:
+            m = t.manifest(v)
+        except FileNotFoundError:  # vacuumed version
+            continue
+        print(json.dumps({"version": v,
+                          "committed_at": m.get("committed_at"),
+                          "commits": m.get("commits", {}),
+                          "metrics": m.get("metrics", {})}, default=str))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="nostr-data-pipeline-spark")
     p.add_argument("--cores", default=None)
@@ -148,6 +166,8 @@ def main(argv=None) -> int:
     sp.add_argument("--path", required=True)
     sp = sub.add_parser("vacuum"); common(sp)
     sp.add_argument("--keep", type=int, default=2)
+    sp = sub.add_parser("lineage"); common(sp)
+    sp.add_argument("--limit", type=int, default=20)
 
     args = p.parse_args(argv)
     from nostr_data_pipeline_spark.session import get_spark
@@ -156,7 +176,7 @@ def main(argv=None) -> int:
     handlers = {
         "init-db": cmd_init_db, "replay": cmd_replay, "stream": cmd_stream,
         "stats": cmd_stats, "trending": cmd_trending, "top-repos": cmd_top_repos,
-        "file": cmd_file, "vacuum": cmd_vacuum,
+        "file": cmd_file, "vacuum": cmd_vacuum, "lineage": cmd_lineage,
     }
     handlers[args.cmd](spark, args)
     return 0

@@ -79,6 +79,10 @@ class StreamingReplayer:
             lww_mode=self.lww_mode,
             salt=self.salt,
             collect_lineage=self.collect_lineage,
+            # materialize the micro-batch once: its lineage contains the
+            # stateful dedup operator, which must not be re-executed per
+            # consumer (see replay_batch docstring)
+            cache_batch=True,
         )
 
     def start(

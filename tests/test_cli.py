@@ -50,5 +50,11 @@ def test_cli_end_to_end(env):
     )
     assert "error" in first or first["repo"] == row["repo"]
 
+    out = run_cli("lineage", "--table", env["table"], "--limit", "10")
+    versions = [json.loads(x) for x in out if x.startswith("{")]
+    assert versions, "lineage printed no versions"
+    merged = [v for v in versions if "rows_inserted" in v.get("metrics", {})]
+    assert merged and all("commits" in v for v in versions)
+
     out = run_cli("vacuum", "--table", env["table"])
     assert "data_dirs_removed" in json.loads(out[-1])

@@ -55,13 +55,13 @@ def test_lww_modes_agree(spark, spec):
         return
     df = spark.createDataFrame(data)
     outs = {}
-    for mode in ("maxseq", "agg", "salted_window"):
+    for mode in ("maxseq", "maxseq_shuffle", "agg", "salted_window"):
         outs[mode] = (
             resolve_lww(df, ("repo", "path"), "seq", "event_id", mode=mode)
             .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
         )
     base = outs["maxseq"]
-    for mode in ("agg", "salted_window"):
+    for mode in ("maxseq_shuffle", "agg", "salted_window"):
         pd.testing.assert_frame_equal(
             base[["repo", "path", "seq", "event_id"]],
             outs[mode][["repo", "path", "seq", "event_id"]],
