@@ -53,7 +53,10 @@ def _check_final_state(spark, table: SnapshotTable, expected: pd.DataFrame):
         )
 
 
-@pytest.mark.parametrize("n_batches,lww_mode", [(1, "agg"), (5, "agg"), (3, "salted_window")])
+@pytest.mark.parametrize(
+    "n_batches,lww_mode",
+    [(1, "agg"), (5, "agg"), (3, "salted_window"), (2, "maxseq"), (2, "maxseq_shuffle")],
+)
 def test_replay_matches_oracle(spark, log_dir, expected, tmp_path, n_batches, lww_mode):
     table = SnapshotTable(str(tmp_path / "tbl"), num_buckets=8)
     result = replay_log(spark, table, log_dir, n_batches=n_batches, lww_mode=lww_mode)
