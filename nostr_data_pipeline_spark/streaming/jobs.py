@@ -109,6 +109,53 @@ class WindowedAggregator:
         return writer.start()
 
 
+class SessionWindowAggregator:
+    """Beyond the reference (SURVEY §2.10 notes session windows are absent):
+    per-repo activity SESSIONS — windows that extend while events keep
+    arriving within ``gap`` of each other and close after a quiet gap.
+    Pure Structured Streaming state (``F.session_window``), no custom
+    stateful operator needed; watermark bounds the session state."""
+
+    def __init__(self, log_dir: str, out_dir: str, checkpoint_dir: str,
+                 gap: str = "5 minutes", lateness: str = "10 minutes"):
+        self.log_dir = log_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.gap = gap
+        self.lateness = lateness
+
+    def start(self, spark: SparkSession, available_now: bool = True):
+        from nostr_data_pipeline_spark.cdc.replayer import LOG_SCHEMA
+
+        src = (
+            spark.readStream.schema(LOG_SCHEMA).parquet(self.log_dir)
+            .withWatermark("ts", self.lateness)
+        )
+        agg = (
+            src.filter(F.col("op") != "schema_change")
+            .groupBy(F.session_window("ts", self.gap).alias("s"), F.col("repo"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("seq").alias("first_seq"),
+                F.max("seq").alias("last_seq"),
+            )
+            .select(
+                F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"),
+                "repo", "n_events", "first_seq", "last_seq",
+            )
+        )
+        writer = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.out_dir)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 class ProgressReporter(StreamingQueryListener):
     """T6: append per-batch progress to JSONL (rows, duration, input rate)."""
 

@@ -76,10 +76,14 @@ def test_cdc_prepare_uses_arrow_udf_only(spark, tmp_path):
     assert plan.count("Exchange") == 1, "agg LWW should shuffle exactly once"
 
     # mode='maxseq' (default): the winner-seq pass must be a pruned-scan
-    # HashAggregate — content never read on that side
+    # HashAggregate — content never read on that side — and the winner set
+    # joins back as a BROADCAST, so the wide payload is filtered map-side
+    # and crosses NO wide shuffle (the only Exchange left is the tiny
+    # residual tie-resolve over ~one row per key)
     plan = plan_of(prepare_batch(data, t, lww_mode="maxseq"))
     assert "BatchEvalPython" not in plan
     assert "HashAggregate" in plan and "partial_max(seq" in plan
+    assert "BroadcastHashJoin" in plan, "winner join-back must broadcast"
     pruned_scans = [
         seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]
     ]

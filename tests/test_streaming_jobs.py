@@ -102,3 +102,57 @@ def test_progress_reporter(spark, tmp_path, log_dir):
         assert sum(e["numInputRows"] for e in prog) >= SPEC.n_events
     finally:
         spark.streams.removeListener(rep)
+
+
+def test_session_window_aggregator(spark, tmp_path):
+    """Two bursts per repo separated by more than the gap -> two sessions,
+    correct event counts and seq ranges per session."""
+    import pandas as pd
+
+    from nostr_data_pipeline_spark.streaming.jobs import SessionWindowAggregator
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    seq = 0
+    for repo in ["repo-a", "repo-b"]:
+        for burst_start_min in (0, 60):  # two bursts, 1h apart >> 5m gap
+            for i in range(20):
+                rows.append({
+                    "event_id": f"e{seq:06d}", "seq": seq, "op": "upsert",
+                    "repo": repo, "path": f"p{i % 5}",
+                    "ts": base + pd.Timedelta(minutes=burst_start_min, seconds=10 * i),
+                    "commit": "c" * 40, "lang": "py", "content": "x",
+                    "extra_json": None, "sc_col_name": None, "sc_col_type": None,
+                })
+                seq += 1
+    # append mode only emits a session once the watermark passes its close;
+    # a far-future sentinel per repo flushes the second burst's session
+    # (the sentinel's own 1-event session stays open and is not emitted)
+    for repo in ["repo-a", "repo-b"]:
+        rows.append({
+            "event_id": f"e{seq:06d}", "seq": seq, "op": "upsert",
+            "repo": repo, "path": "sentinel",
+            "ts": base + pd.Timedelta(hours=10),
+            "commit": "c" * 40, "lang": "py", "content": "x",
+            "extra_json": None, "sc_col_name": None, "sc_col_type": None,
+        })
+        seq += 1
+
+    log = str(tmp_path / "sesslog")
+    os.makedirs(log)
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet TIMESTAMP, not INT64
+    pdf.to_parquet(os.path.join(log, "part-0.parquet"))
+
+    agg = SessionWindowAggregator(
+        log, str(tmp_path / "out"), str(tmp_path / "ckpt"), gap="5 minutes"
+    )
+    agg.start(spark, available_now=True).awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {(r["repo"], r["n_events"]) for r in out.collect()}
+    # 2 repos x 2 sessions of 20 events each
+    assert out.count() == 4
+    assert got == {("repo-a", 20), ("repo-b", 20)}
+    # session extent = first event .. last event + gap
+    one = out.filter("repo = 'repo-a'").orderBy("session_start").first()
+    assert one["last_seq"] - one["first_seq"] == 19
