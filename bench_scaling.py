@@ -10,8 +10,11 @@ on one GC/memory manager and under-reports scaling that separate executors
 (and the raw hardware — measured 0.93 efficiency on a 32-process sha256
 burn) actually deliver.
 
-Default: 1 executor x 8 cores  vs  4 executors x 8 cores (N vs 4N).
-Each level runs in a fresh process with an untimed warm-up replay first.
+Recorded evidence uses 1 executor x 2 cores vs 4 executors x 2 cores
+(`python bench_scaling.py 20000000 1 4 2 2`): 2-core executors keep each
+level's per-core memory-bandwidth demand inside this VM's ceiling (see
+BENCH.md), and 1-core executors starve the JVM's JIT/GC. Each level runs
+in a fresh process with an untimed warm-up replay first.
 
 Prints one JSON line with throughput at both sizes + scaling efficiency
 T(4N) / (4 * T(N)).
@@ -99,7 +102,7 @@ def main() -> None:
     )
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    cores = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    cores = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
     from nostr_data_pipeline_spark.cdc.generator import (
         LogSpec,
