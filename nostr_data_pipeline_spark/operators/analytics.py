@@ -554,8 +554,10 @@ def m1_virality_score(spark, sf_dir):
     )
     global_max = e.agg(F.max("ts").alias("gmax"))
     j = per_user.crossJoin(F.broadcast(global_max))
-    epoch = lambda c: F.col(c).cast("timestamp_ltz").cast("double")  # noqa: E731
-    age_h = (epoch("gmax") - epoch("last_ts")) / 3600.0
+    # timestampdiff is pure wall-clock arithmetic on the NTZ values — an
+    # ltz-cast here would interpret them in the (driver-controlled) session
+    # timezone and skew across DST transitions
+    age_h = F.expr("timestampdiff(MICROSECOND, last_ts, gmax)").cast("double") / 3.6e9
     base = (
         3.0 * F.col("n_purchase")
         + 0.001 * F.col("purchase_value")
