@@ -27,6 +27,13 @@ _KO = "가-힯"
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session to UTC: the testdata timestamps are LTZ, so bucket
+    # boundaries and collected values would otherwise follow whatever
+    # timezone the (driver-controlled) session happens to use, while the
+    # DuckDB oracle always sees naive UTC wall-clock. Deterministic results
+    # are the contract of this module.
+    if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -322,7 +322,9 @@ def embedding_near_duplicates(
 # ---------------------------------------------------------------------------
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from nostr_data_pipeline_spark.operators.analytics import load
+
+    return load(spark, sf_dir, name)  # pins session tz to UTC (determinism)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
