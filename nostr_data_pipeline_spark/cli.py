@@ -121,6 +121,14 @@ def cmd_vacuum(spark, args) -> None:
     print(json.dumps({"data_dirs_removed": removed}))
 
 
+def cmd_changes(spark, args) -> None:
+    """Change feed (CDC-out): net row-level changes between two versions."""
+    t = _table(args)
+    feed = t.changes(spark, args.from_version, args.to_version)
+    for r in feed.orderBy("_change_type", *t.key_cols).collect():
+        print(json.dumps(r.asDict(), default=str))
+
+
 def cmd_lineage(spark, args) -> None:
     """Health/lineage report (reference cli.py `relays`): one line per table
     version with its commit metrics — rows inserted/updated/deleted, dedup
@@ -168,6 +176,9 @@ def main(argv=None) -> int:
     sp.add_argument("--keep", type=int, default=2)
     sp = sub.add_parser("lineage"); common(sp)
     sp.add_argument("--limit", type=int, default=20)
+    sp = sub.add_parser("changes"); common(sp)
+    sp.add_argument("--from-version", type=int, required=True, dest="from_version")
+    sp.add_argument("--to-version", type=int, default=None, dest="to_version")
 
     args = p.parse_args(argv)
     from nostr_data_pipeline_spark.session import get_spark
@@ -177,6 +188,7 @@ def main(argv=None) -> int:
         "init-db": cmd_init_db, "replay": cmd_replay, "stream": cmd_stream,
         "stats": cmd_stats, "trending": cmd_trending, "top-repos": cmd_top_repos,
         "file": cmd_file, "vacuum": cmd_vacuum, "lineage": cmd_lineage,
+        "changes": cmd_changes,
     }
     handlers[args.cmd](spark, args)
     return 0

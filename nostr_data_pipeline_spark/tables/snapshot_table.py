@@ -144,8 +144,11 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession, include_tombstones: bool = False,
              with_payload: bool = False, payload_col: str = "extra_json",
-             seq_col: str = "last_seq") -> DataFrame:
-        m = self.manifest()
+             seq_col: str = "last_seq", version: int | None = None) -> DataFrame:
+        """Read a snapshot. ``version`` time-travels to an older manifest
+        (manifests are immutable; ``vacuum`` bounds how far back the data
+        directories still exist — default keeps the newest 2 versions)."""
+        m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         files = [f for fs in m["buckets"].values() for f in fs]
         df = self._read_files(spark, files, schema)
@@ -165,6 +168,58 @@ class SnapshotTable:
         if not include_tombstones:
             df = df.filter(~F.col("_deleted")).drop("_deleted")
         return df
+
+    def changes(self, spark: SparkSession, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Change feed (CDC-out): net row-level changes between two snapshot
+        versions, for downstream incremental consumers — the capability the
+        reference's consumers lack entirely (they re-query full tables).
+
+        Returns ``_change_type`` (insert | update | delete) + the key columns
+        + the new row image (old image for deletes). Net-changes semantics:
+        intermediate versions between the two snapshots are collapsed, which
+        is exactly what a seq-guarded LWW table can answer from state alone.
+        Implementation is one full-outer key join of the two snapshots —
+        both sides read tombstones so deletes are visible even before any
+        tombstone vacuum."""
+        to_version = to_version if to_version is not None else self.current_version()
+        old = self.read(spark, include_tombstones=True, version=from_version)
+        new = self.read(spark, include_tombstones=True, version=to_version)
+        keys = list(self.key_cols)
+        o, n = old.alias("o"), new.alias("n")
+        cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
+        j = o.join(n, cond, "full_outer")
+        o_exists = F.col(f"o.{keys[0]}").isNotNull()
+        n_exists = F.col(f"n.{keys[0]}").isNotNull()
+        o_live = o_exists & ~F.coalesce(F.col("o._deleted"), F.lit(False))
+        n_live = n_exists & ~F.coalesce(F.col("n._deleted"), F.lit(False))
+        same_row = F.coalesce(
+            (F.col("o.last_seq") == F.col("n.last_seq"))
+            & (F.col("o.last_event_id") == F.col("n.last_event_id")),
+            F.lit(False),
+        )
+        change = (
+            F.when(~o_live & n_live, "insert")
+            .when(o_live & ~n_live, "delete")
+            .when(o_live & n_live & ~same_row, "update")
+        )
+        payload = [c for c in new.columns if c not in keys and c != "_deleted"]
+        out_cols = (
+            [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys]
+            + [
+                # new image; old image for deletes (the last state that died).
+                # A column added by schema evolution after from_version has
+                # no old image — null for deletes then.
+                F.when(
+                    change == "delete",
+                    F.col(f"o.{c}") if c in old.columns else F.lit(None),
+                )
+                .otherwise(F.col(f"n.{c}"))
+                .alias(c)
+                for c in payload
+            ]
+        )
+        return j.filter(change.isNotNull()).select(change.alias("_change_type"), *out_cols)
 
     def evolve_column(self, name: str, spark_type: str, add_seq: int) -> bool:
         """Declare a virtual evolved column projected from the CDC payload.
