@@ -16,10 +16,23 @@ Spark-first re-expression of the reference's ingest loop
   per-batch counters dict (T6)                merge metrics + per-bucket lineage
                                               persisted in table manifests
 
-The watermark bounds dedup state: an event later than ``lateness`` behind the
-max event-time may slip past the streaming dedup, but the seq-guarded MERGE is
-idempotent per (seq, event_id), so a duplicate that escapes the state store is
-still applied exactly once (defense in depth; SURVEY §2.10 T7).
+Dedup modes (``dedup_mode``):
+
+- ``'guard'`` (default): NO stateful operator. In-batch duplicates collapse in
+  the LWW resolution; cross-batch redeliveries are no-ops under the MERGE's
+  strict ``(seq, event_id)`` guard. Zero state, and — critically — zero data
+  loss: Spark's watermarked stateful operators DROP rows older than the
+  watermark, and the file source discovers files in modification-time order,
+  so a newer file processed first races the watermark ahead and can silently
+  drop an entire earlier file (observed: whole 500-row files dropped, losing
+  LWW winners and schema events; LWW usually re-converges by accident, which
+  made the bug look like test flakiness).
+- ``'watermark'``: ``withWatermark + dropDuplicatesWithinWatermark`` — bounded
+  per-event-id state, appropriate ONLY when the source delivers within the
+  ``lateness`` bound (e.g., a single ordered queue). The MERGE guard still
+  backstops duplicates that outlive the state, but rows later than the
+  watermark are dropped before the sink — a correctness trade the caller must
+  opt into.
 """
 
 from __future__ import annotations
@@ -48,7 +61,10 @@ class StreamingReplayer:
         lww_mode: str = "maxseq",
         salt: int = 16,
         collect_lineage: bool = True,
+        dedup_mode: str = "guard",
     ):
+        if dedup_mode not in ("guard", "watermark"):
+            raise ValueError(f"unknown dedup_mode {dedup_mode}")
         self.table = table
         self.log_dir = log_dir
         self.checkpoint_dir = checkpoint_dir
@@ -58,16 +74,21 @@ class StreamingReplayer:
         self.lww_mode = lww_mode
         self.salt = salt
         self.collect_lineage = collect_lineage
+        self.dedup_mode = dedup_mode
 
     def _source(self, spark: SparkSession) -> DataFrame:
         reader = spark.readStream.schema(LOG_SCHEMA)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         df = reader.parquet(self.log_dir)
-        # cross-batch dedup with bounded state (SURVEY T3); ts is event time
-        return df.withWatermark("ts", self.lateness).dropDuplicatesWithinWatermark(
-            ["event_id"]
-        )
+        if self.dedup_mode == "watermark":
+            # bounded per-event-id state (SURVEY T3) — drops watermark-late
+            # rows; see the module docstring for when this is safe
+            return df.withWatermark("ts", self.lateness).dropDuplicatesWithinWatermark(
+                ["event_id"]
+            )
+        # 'guard': dedup is subsumed by LWW + the seq-guarded MERGE
+        return df
 
     def _apply(self, batch: DataFrame, batch_id: int) -> None:
         replay_batch(

@@ -356,6 +356,11 @@ class SnapshotTable:
         out_dir = os.path.join(self.path, data_rel)
         (
             merged.repartition(len(affected), F.col("_bucket"))
+            # key-sorted files: parquet row-group min/max on (repo, path)
+            # prune point lookups and future merge scans within a bucket —
+            # the winner set being sorted is cheap, the pruning at 100 TB
+            # bucket sizes is not
+            .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out_dir)

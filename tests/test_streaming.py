@@ -27,12 +27,16 @@ def _final_matches(spark, table, expected) -> None:
     assert list(got["last_seq"]) == list(expected["last_seq"])
 
 
-def test_streaming_replay_matches_oracle(spark, tmp_path, expected):
+@pytest.mark.parametrize("dedup_mode", ["guard", "watermark"])
+def test_streaming_replay_matches_oracle(spark, tmp_path, expected, dedup_mode):
+    # 'watermark' is only safe on an ordered source: a single write_log dir
+    # has strictly increasing file mtimes, so discovery order == event order
+    # and nothing falls behind the watermark. 'guard' needs no such property.
     log_dir = str(tmp_path / "log")
     write_log(log_dir, SPEC)
     table = SnapshotTable(str(tmp_path / "tbl"), num_buckets=8)
     rep = StreamingReplayer(table, log_dir, str(tmp_path / "ckpt"),
-                            max_files_per_trigger=2)
+                            max_files_per_trigger=2, dedup_mode=dedup_mode)
     rep.run_to_completion(spark)
     _final_matches(spark, table, expected)
 
