@@ -994,6 +994,48 @@ SELECT * FROM c WHERE cos_sim >= 0.5 ORDER BY cos_sim DESC, id1, id2
 """
 
 
+def _ann_lsh_sql() -> str:
+    """DuckDB replica of ann_lsh_topk(k=10, probe_flips=2): same inlined
+    hyperplanes as the embedding dedup oracle; the probe set (all buckets
+    within 2 sign-bit flips of the query's bucket) reduces to a bit_count
+    on the XOR of bucket ids."""
+    from nostr_data_pipeline_spark.operators.dedup import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+    plane_cols = ", ".join(
+        "[" + ",".join(repr(float(x)) for x in p) + f"]::DOUBLE[] AS p{i}"
+        for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, p{i}) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pl AS (
+  SELECT {plane_cols}
+), b AS (
+  SELECT id, v, {bucket} AS bkt FROM base, pl
+), q AS (
+  SELECT bkt AS qbkt, v AS qv FROM b WHERE id = 0
+)
+SELECT id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             6) AS cos_sim
+FROM b, q
+WHERE bit_count(CAST(xor(CAST(bkt AS BIGINT), CAST(qbkt AS BIGINT)) AS BIGINT)) <= 2
+ORDER BY cos_sim DESC, id LIMIT 10
+"""
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.dedup import q_ann_lsh_topk
+
+    return q_ann_lsh_topk(spark, sf_dir)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from nostr_data_pipeline_spark.operators.dedup import q_ngram_jaccard
 
@@ -1046,5 +1088,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_ngram_jaccard": (_q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),
     "a15_rollup": (a15_rollup, A15_SQL),
+    "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
     "w4_running_total": (w4_running_total, W4_SQL),
 }

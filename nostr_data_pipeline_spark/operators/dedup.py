@@ -373,10 +373,11 @@ def q_multimodal_features(spark, sf_dir):
 
 # ngram_jaccard and embedding_cosine graduated to full SQL oracles (their
 # results are hash-function-free) — registered in analytics.QUERIES instead.
+# ann_lsh_topk also graduated to a full SQL oracle (deterministic
+# hyperplanes inline as literals; probe set = bit_count of bucket XOR).
 ROWS_ONLY_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
-    "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }
