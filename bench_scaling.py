@@ -132,7 +132,13 @@ def main() -> None:
             gen_spark.stop()
         else:
             write_log(log_dir, spec)
-        delivered = int(events * (1 + spec.dup_rate)) + len(spec.schema_changes)
+        # exact delivered count (write_log_spark's sample()-based duplicate
+        # injection is only approximately dup_rate) — footer-only read
+        import duckdb
+
+        delivered = duckdb.sql(
+            f"SELECT count(*) FROM '{log_dir}/*.parquet'"
+        ).fetchone()[0]
         trials = int(sys.argv[5]) if len(sys.argv) > 5 else int(
             os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "1")
         )

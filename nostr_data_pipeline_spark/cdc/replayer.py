@@ -124,14 +124,20 @@ def replay_batch(
     salt: int = 16,
     collect_lineage: bool = True,
     cache_batch: bool = False,
+    max_broadcast_keys: int = 5_000_000,
 ) -> dict[str, Any]:
     """Apply one micro-batch (data + schema_change rows mixed) exactly once.
+
+    ``max_broadcast_keys``: live-key ceiling for the LWW winner broadcast;
+    above it the default 'maxseq' mode falls back to the shuffle join (a 5M
+    winner set is ~500MB as a hash relation — size to your executors).
 
     ``cache_batch``: False (batch replay over a static DataFrame) leaves the
     batch uncached — each consumer (schema-event collect, the LWW winner
     broadcast build, the wide probe) re-scans the parquet, which is cheap and
-    side-effect-free, and rows_seen is an extra ``batch.count()`` answered
-    from file-footer metadata. True (streaming foreachBatch): the batch is
+    side-effect-free, and rows_seen is an extra ``batch.count()`` (a footer
+    metadata read for a whole-log batch; a narrow seq-column scan for a
+    seq-sliced chunk). True (streaming foreachBatch): the batch is
     ``persist()``ed and materialized ONCE — a micro-batch's lineage contains
     the STATEFUL dedup operator, and every extra evaluation (a count, the
     broadcast build, the probe branch) would re-execute it against
@@ -168,6 +174,17 @@ def replay_batch(
         rows_seen = rows_total - len(sc)
 
         data = batch.filter(F.col("op") != "schema_change")
+        if lww_mode == "maxseq":
+            # Adaptive broadcast guard: 'maxseq' force-broadcasts the winner
+            # (key, max_seq) set, which would OOM executors when the batch
+            # carries tens of millions of LIVE KEYS. One narrow probe job
+            # (key-columns scan + HLL sketch) decides; the common CDC shape
+            # (many events, few keys) keeps the zero-wide-shuffle fast path.
+            n_keys = data.agg(
+                F.approx_count_distinct(F.xxhash64("repo", "path")).alias("k")
+            ).first()["k"]
+            if n_keys > max_broadcast_keys:
+                lww_mode = "maxseq_shuffle"
         resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt)
         # the resolved batch feeds multiple consumers (counter, lineage agg,
         # bucket pruning, the merge join) — cache it so LWW runs once per batch

@@ -122,10 +122,15 @@ def cmd_vacuum(spark, args) -> None:
 
 
 def cmd_changes(spark, args) -> None:
-    """Change feed (CDC-out): net row-level changes between two versions."""
+    """Change feed (CDC-out): net row-level changes between two versions.
+    Bounded + iterator-based — the feed can be most of a large table."""
     t = _table(args)
-    feed = t.changes(spark, args.from_version, args.to_version)
-    for r in feed.orderBy("_change_type", *t.key_cols).collect():
+    feed = (
+        t.changes(spark, args.from_version, args.to_version)
+        .orderBy("_change_type", *t.key_cols)
+        .limit(args.limit)
+    )
+    for r in feed.toLocalIterator():
         print(json.dumps(r.asDict(), default=str))
 
 
@@ -179,6 +184,7 @@ def main(argv=None) -> int:
     sp = sub.add_parser("changes"); common(sp)
     sp.add_argument("--from-version", type=int, required=True, dest="from_version")
     sp.add_argument("--to-version", type=int, default=None, dest="to_version")
+    sp.add_argument("--limit", type=int, default=1000)
 
     args = p.parse_args(argv)
     from nostr_data_pipeline_spark.session import get_spark

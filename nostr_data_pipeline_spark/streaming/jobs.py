@@ -114,7 +114,17 @@ class SessionWindowAggregator:
     per-repo activity SESSIONS — windows that extend while events keep
     arriving within ``gap`` of each other and close after a quiet gap.
     Pure Structured Streaming state (``F.session_window``), no custom
-    stateful operator needed; watermark bounds the session state."""
+    stateful operator needed; watermark bounds the session state.
+
+    Lateness caveat (applies to this class and ``WindowedAggregator`` — it is
+    inherent to every append-mode stateful aggregation in Spark): rows later
+    than ``lateness`` behind the max seen event-time are DROPPED before the
+    aggregation, so counts undercount if the source can reorder beyond that
+    bound (e.g., multi-file discovery order). The CDC replay path itself
+    never depends on these aggregates — exact state comes from the
+    seq-guarded MERGE (see streaming/replayer.py dedup_mode discussion);
+    these jobs are the metrics/rollup plane, where watermark-late drops are
+    the standard accepted trade for bounded state."""
 
     def __init__(self, log_dir: str, out_dir: str, checkpoint_dir: str,
                  gap: str = "5 minutes", lateness: str = "10 minutes"):

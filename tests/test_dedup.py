@@ -63,3 +63,29 @@ def test_embedding_near_duplicates_self_consistency(spark):
     )
     pairs = embedding_near_duplicates(emb.unionByName(dup), threshold=0.999).collect()
     assert any(r["id1"] == 1 and r["id2"] == 900001 and r["cos_sim"] >= 0.999 for r in pairs)
+
+
+def test_shingles_expression_form_matches_two_step(spark):
+    """shingles() (array-wrap lambda binding, for inline expression use) must
+    produce exactly what the two-step tokenize + shingles_of_tokens path
+    produces — it has no other production caller, so pin it here."""
+    from pyspark.sql import functions as F
+
+    from nostr_data_pipeline_spark.operators.dedup import (
+        shingles,
+        shingles_of_tokens,
+        tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("one two",), ("  padded   tokens  here ",), ("solo",)],
+        "text string",
+    )
+    both = df.select(
+        F.sort_array(shingles(F.col("text"), 3)).alias("expr_form"),
+        F.sort_array(
+            shingles_of_tokens(tokenize(F.col("text")), 3)
+        ).alias("two_step"),
+    ).collect()
+    for r in both:
+        assert r["expr_form"] == r["two_step"]
