@@ -994,6 +994,42 @@ SELECT * FROM c WHERE cos_sim >= 0.5 ORDER BY cos_sim DESC, id1, id2
 """
 
 
+def s1_set_ops(spark, sf_dir):
+    """S1 set ops (beyond the reference — SURVEY §2.7 records NO set
+    operations there): customers who ordered in 1995 but not in 1996
+    (EXCEPT), plus those who ordered in both (INTERSECT), labeled and
+    unioned. exceptAll/intersect plan as left-anti / left-semi joins."""
+    o = load(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey").distinct()
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey").distinct()
+    only95 = y95.exceptAll(y96).select(
+        "o_custkey", F.lit("only_1995").alias("cohort")
+    )
+    both = y95.intersect(y96).select(
+        "o_custkey", F.lit("both_years").alias("cohort")
+    )
+    return only95.unionByName(both).orderBy("cohort", "o_custkey")
+
+
+S1_SETOPS_SQL = """
+WITH y95 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+), y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_custkey, 'only_1995' AS cohort FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'both_years' AS cohort FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+ORDER BY cohort, o_custkey
+"""
+
+
 def _ann_lsh_sql() -> str:
     """DuckDB replica of ann_lsh_topk(k=10, probe_flips=2): same inlined
     hyperplanes as the embedding dedup oracle; the probe set (all buckets
@@ -1089,5 +1125,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),
     "a15_rollup": (a15_rollup, A15_SQL),
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
+    "s1_set_ops": (s1_set_ops, S1_SETOPS_SQL),
     "w4_running_total": (w4_running_total, W4_SQL),
 }
