@@ -14,10 +14,13 @@ Three implementations, all skew-safe at 10^10 events:
   the winner side is (key, seq) only — ~60 bytes/key — so the wide payload
   is filtered MAP-SIDE and never hits a shuffle at all; only the surviving
   ~one-row-per-key candidates shuffle for the residual tie-resolve (equal
-  seq, different event_id — rare). At extreme key cardinality (winners no
-  longer fit an executor: >~50M live keys per batch) use
-  ``mode='maxseq_shuffle'`` — same plan with a shuffle join, where the wide
-  payload crosses the wire exactly once, un-sorted.
+  seq, different event_id — rare). The broadcast is guarded IN here
+  (``max_broadcast_keys``): the winner set is counted after aggregation
+  (exact, post-agg — cheap) and above the ceiling the plan degrades to
+  ``maxseq_shuffle`` — same shape with a shuffle join, where the wide
+  payload crosses the wire exactly once, un-sorted. Every caller gets the
+  OOM guard, not just the replayer (a 5M winner set is ~500MB as a hash
+  relation — size the ceiling to your executors).
 - ``mode='agg'``: ``max_by(struct(*), struct(seq, event_id))`` aggregation.
   One-pass and elegant, but struct aggregation buffers are not
   HashAggregate-compatible, so Spark plans a SortAggregate — the full batch
@@ -45,16 +48,43 @@ def resolve_lww(
     tie_col: str = "event_id",
     mode: str = "maxseq",
     salt: int = 16,
+    max_broadcast_keys: int | None = 5_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Reduce to exactly one row per key: the (seq, tie)-max winner.
-    Preserves all input columns."""
+    Preserves all input columns.
+
+    ``max_broadcast_keys`` (mode='maxseq' only): live-key ceiling for the
+    winner broadcast. The guard folds into the winner aggregation itself —
+    winners are computed once, counted (an exact post-agg count, no extra
+    scan of the batch beyond the aggregation pass), and the join-back picks
+    broadcast vs shuffle from that count. ``None`` opts out (force
+    broadcast, the caller vouches for cardinality).
+
+    ``stats``: optional dict the caller owns. When provided, the winner set
+    is ``persist()``ed so the guard count and the join-back share one
+    aggregation job, and the dict receives ``n_keys``, ``lww_mode`` and
+    ``winners`` (the persisted DataFrame — the CALLER must unpersist it
+    once the result has been consumed). Without ``stats`` nothing is
+    cached: the winner aggregation runs once for the count and once inside
+    the join — still only narrow (key, seq) rows, never the payload."""
     payload = [c for c in df.columns if c not in key_cols]
     if mode in ("maxseq", "maxseq_shuffle"):
         winners = df.groupBy(*key_cols).agg(F.max(seq_col).alias("_max_seq"))
-        if mode == "maxseq":
-            winners = F.broadcast(winners)
+        if mode == "maxseq" and max_broadcast_keys is not None:
+            if stats is not None:
+                winners = winners.persist()
+            n_keys = winners.count()
+            if n_keys > max_broadcast_keys:
+                mode = "maxseq_shuffle"
+            if stats is not None:
+                stats["n_keys"] = n_keys
+                stats["winners"] = winners
+        if stats is not None:
+            stats["lww_mode"] = mode
+        joined = F.broadcast(winners) if mode == "maxseq" else winners
         cand = (
-            df.join(winners, list(key_cols), "inner")
+            df.join(joined, list(key_cols), "inner")
             .filter(F.col(seq_col) == F.col("_max_seq"))
             .drop("_max_seq")
         )

@@ -80,7 +80,9 @@ class ReplayResult:
 
 
 def prepare_batch(batch: DataFrame, table: SnapshotTable,
-                  lww_mode: str = "maxseq", salt: int = 16) -> DataFrame:
+                  lww_mode: str = "maxseq", salt: int = 16,
+                  max_broadcast_keys: int | None = 5_000_000,
+                  stats: dict | None = None) -> DataFrame:
     """Data rows of one batch -> LWW-resolved rows shaped for MERGE.
 
     Shuffle discipline (this is the hot path of the primary metric):
@@ -92,7 +94,11 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
     - sha256 (the Arrow-batched pandas UDF) runs AFTER resolution, on winners
       only — never on LWW losers or duplicate copies.
     - ``extra_json`` travels raw; evolved columns are virtual (projected at
-      read time), so no parse happens here."""
+      read time), so no parse happens here.
+    - the broadcast-OOM guard lives inside resolve_lww (the winner set is
+      counted post-aggregation); pass ``stats`` to share the persisted
+      winner set between the guard count and the join-back (the caller
+      unpersists ``stats['winners']`` once the result is materialized)."""
     cols = [
         F.col("repo"), F.col("path"), F.col("commit"), F.col("lang"),
         F.col("content"),
@@ -102,8 +108,9 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
         (F.col("op") == "delete").alias("_deleted"),
     ]
     shaped = batch.select(*cols)
-    resolved = resolve_lww(shaped, ("repo", "path"), "seq", "event_id",
-                           mode=lww_mode, salt=salt)
+    resolved = resolve_lww(shaped, tuple(table.key_cols), "seq", "event_id",
+                           mode=lww_mode, salt=salt,
+                           max_broadcast_keys=max_broadcast_keys, stats=stats)
     resolved = resolved.withColumn(
         # vectorized pandas UDF: normalize + sha256 (input_hint mandate)
         "content_sha256",
@@ -128,9 +135,11 @@ def replay_batch(
 ) -> dict[str, Any]:
     """Apply one micro-batch (data + schema_change rows mixed) exactly once.
 
-    ``max_broadcast_keys``: live-key ceiling for the LWW winner broadcast;
-    above it the default 'maxseq' mode falls back to the shuffle join (a 5M
-    winner set is ~500MB as a hash relation — size to your executors).
+    ``max_broadcast_keys``: live-key ceiling for the LWW winner broadcast
+    (enforced inside resolve_lww as an exact post-aggregation count of the
+    winner set — no separate probe scan of the batch); above it the default
+    'maxseq' mode falls back to the shuffle join (a 5M winner set is ~500MB
+    as a hash relation — size to your executors).
 
     ``cache_batch``: False (batch replay over a static DataFrame) leaves the
     batch uncached — each consumer (schema-event collect, the LWW winner
@@ -174,24 +183,25 @@ def replay_batch(
         rows_seen = rows_total - len(sc)
 
         data = batch.filter(F.col("op") != "schema_change")
-        if lww_mode == "maxseq":
-            # Adaptive broadcast guard: 'maxseq' force-broadcasts the winner
-            # (key, max_seq) set, which would OOM executors when the batch
-            # carries tens of millions of LIVE KEYS. One narrow probe job
-            # (key-columns scan + HLL sketch) decides; the common CDC shape
-            # (many events, few keys) keeps the zero-wide-shuffle fast path.
-            n_keys = data.agg(
-                F.approx_count_distinct(F.xxhash64("repo", "path")).alias("k")
-            ).first()["k"]
-            if n_keys > max_broadcast_keys:
-                lww_mode = "maxseq_shuffle"
-        resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt)
+        # The broadcast-OOM guard (live-key ceiling for the winner broadcast)
+        # is folded into resolve_lww's winner aggregation: no separate probe
+        # scan of the batch — the winner set is persisted via `lww_stats`,
+        # counted exactly post-agg, and reused by the join-back, so the batch
+        # is scanned exactly once before the merge join.
+        lww_stats: dict[str, Any] = {}
+        resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt,
+                                 max_broadcast_keys=max_broadcast_keys,
+                                 stats=lww_stats)
         # the resolved batch feeds multiple consumers (counter, lineage agg,
         # bucket pruning, the merge join) — cache it so LWW runs once per batch
         resolved = resolved.persist()
         try:
             # materializes the cache; winners only, so this count is cheap
             rows_resolved = resolved.count()
+            # the winner-set cache has served both the guard count and the
+            # join-back; release it before the merge machinery runs
+            if "winners" in lww_stats:
+                lww_stats["winners"].unpersist()
             lineage = None
             if collect_lineage:
                 lineage = {
@@ -210,8 +220,13 @@ def replay_batch(
             metrics["rows_resolved"] = rows_resolved
             # duplicates + LWW-superseded rows per batch (reference T2/A14)
             metrics["rows_superseded_or_duplicate"] = max(0, rows_seen - rows_resolved)
+            if "n_keys" in lww_stats:
+                metrics["lww_keys"] = lww_stats["n_keys"]
+                metrics["lww_mode"] = lww_stats["lww_mode"]
         finally:
             resolved.unpersist()
+            if "winners" in lww_stats:  # no-op if already released above
+                lww_stats["winners"].unpersist()
         return metrics
     finally:
         if cache_batch:

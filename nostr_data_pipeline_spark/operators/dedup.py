@@ -368,7 +368,18 @@ def q_multimodal_features(spark, sf_dir):
     # 64 demo rows: right-size partitions so we don't spin up one Python
     # worker per core for a 2-row task (real inputs get their partitioning
     # from the source).
-    return extract_features(synthetic_media(spark, n=64).coalesce(8), dim=32)
+    feats = extract_features(synthetic_media(spark, n=64).coalesce(8), dim=32)
+    # Contract projection: the driver canonicalizes results with a pandas
+    # sort/factorize, which cannot hash an array<float> column — so the
+    # raw vector is digested to a deterministic sha256 here (4dp rounding
+    # absorbs float32 representation noise). API users get the real array
+    # from extract_features(); this adapter only shapes the contract row.
+    digest_src = F.concat_ws(
+        ",", F.transform("feature", lambda x: F.round(x.cast("double"), 4).cast("string"))
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.sha2(digest_src, 256).alias("feature_sha256")
+    ).orderBy("media_id")
 
 
 # ngram_jaccard and embedding_cosine graduated to full SQL oracles (their

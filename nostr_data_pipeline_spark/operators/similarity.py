@@ -86,11 +86,18 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
                         n_cells: int = 16, sample: int = 2048, seed: int = 42,
-                        iters: int = 10) -> np.ndarray:
+                        iters: int = 10, id_col: str = "vec_id") -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (the IVF codebook
-    is tiny and global — training it centrally is the standard design)."""
+    is tiny and global — training it centrally is the standard design).
+
+    The sample is ``orderBy(id_col).limit(sample)``: a bare ``limit`` is
+    partition-layout-dependent (repartitioning the same data would yield
+    different centroids); ordering by the id makes the codebook a pure
+    function of the data. At scale the sort is a top-k
+    (TakeOrderedAndProject over a 2-column projection), not a full sort."""
     rows = (
-        df.select(vec_col).limit(sample).toPandas()[vec_col].tolist()
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample)
+        .toPandas()[vec_col].tolist()
     )
     X = np.asarray(rows, dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -112,7 +119,7 @@ def ann_ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     """IVF: assign each vector to its nearest centroid cell (vectorized pandas
     UDF — one matmul per Arrow batch), probe the n_probe cells nearest to the
     query, exact cosine within."""
-    C = train_ivf_centroids(df, vec_col, n_cells=n_cells, seed=seed)
+    C = train_ivf_centroids(df, vec_col, n_cells=n_cells, seed=seed, id_col=id_col)
 
     @pandas_udf(IntegerType())
     def assign_cell(vs: pd.Series) -> pd.Series:  # pragma: no cover (executors)

@@ -90,3 +90,55 @@ def test_cdc_prepare_uses_arrow_udf_only(spark, tmp_path):
     assert any("content" not in s for s in pruned_scans), (
         "max(seq) pass should scan without the content column"
     )
+
+
+def test_lww_guard_folds_into_winner_agg(spark, tmp_path):
+    """The broadcast-OOM guard must not cost an extra scan of the batch:
+    with caller-managed stats, the winner set is persisted, the guard count
+    is served by that cache, and the join-back reads the winners from
+    memory — so the batch parquet appears exactly ONCE in the plan before
+    the merge join (round-1 verdict item #2)."""
+    from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log
+    from nostr_data_pipeline_spark.cdc.lww import resolve_lww
+    from nostr_data_pipeline_spark.cdc.replayer import (
+        LOG_SCHEMA, TARGET_BASE_SCHEMA, prepare_batch,
+    )
+    from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+    d = str(tmp_path / "log")
+    write_log(d, LogSpec(n_events=500, n_repos=5, paths_per_repo=5, seed=1, n_files=1))
+    t = SnapshotTable(str(tmp_path / "tbl"), num_buckets=4)
+    t.create(TARGET_BASE_SCHEMA)
+    data = spark.read.schema(LOG_SCHEMA).parquet(d).filter("op != 'schema_change'")
+
+    stats: dict = {}
+    resolved = prepare_batch(data, t, lww_mode="maxseq", stats=stats)
+    try:
+        plan = plan_of(resolved)
+        assert stats["lww_mode"] == "maxseq" and stats["n_keys"] == 25
+        # winner side comes from cache, not a second parquet read
+        assert "InMemoryTableScan" in plan
+        # the text after InMemoryRelation is the *description* of the
+        # already-executed cache job, not a live scan — count before it
+        live = plan.split("InMemoryRelation")[0]
+        n_scans = live.count("FileScan") + live.count("BatchScan")
+        assert n_scans == 1, f"batch must be scanned once pre-merge, saw {n_scans}"
+        assert "BroadcastHashJoin" in plan
+    finally:
+        stats["winners"].unpersist()
+
+    # guard fallback: a tiny ceiling must degrade to the shuffle join —
+    # for ANY direct resolve_lww caller, not just the replayer
+    shaped = data.select("repo", "path", "seq", "event_id", "content")
+    stats2: dict = {}
+    out = resolve_lww(shaped, ("repo", "path"), "seq", "event_id",
+                      mode="maxseq", max_broadcast_keys=1, stats=stats2)
+    try:
+        assert stats2["lww_mode"] == "maxseq_shuffle"
+        # the FORCED hint must be gone — broadcast is now Spark's own
+        # autoBroadcastJoinThreshold decision (which respects the 8GB cap),
+        # so an over-ceiling winner set can no longer OOM the executors
+        assert "strategy=broadcast" not in optimized_of(out)
+        assert out.count() == 25  # same result through the guarded path
+    finally:
+        stats2["winners"].unpersist()
