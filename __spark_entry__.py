@@ -26,20 +26,25 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
     """Ship the package to executors (addPyFile zip) exactly once per
     SparkContext. Closures that *are* self-contained don't need this, but a
     driver launched outside the repo (no --py-files) would otherwise lose any
-    by-reference pickled symbol on the Python workers."""
+    by-reference pickled symbol on the Python workers.
+
+    Keyed by applicationId, which is unique per context — ``id(sc)`` can be
+    REUSED by CPython after a stopped context is garbage-collected, which
+    would silently skip addPyFile for the successor context."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
         return
     pkg_dir = os.path.join(_REPO, "nostr_data_pipeline_spark")
     zpath = os.path.join(
-        tempfile.gettempdir(), f"ndps_pkg_{os.getpid()}_{id(sc)}.zip"
+        tempfile.gettempdir(), f"ndps_pkg_{os.getpid()}_{app_id}.zip"
     )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -49,13 +54,24 @@ def _ensure_shipped(spark: SparkSession) -> None:
                         full = os.path.join(root, fn)
                         zf.write(full, os.path.relpath(full, _REPO))
     sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(app_id)
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    """Contract queries are timezone-deterministic only under a UTC session
+    (the oracle sees naive UTC wall-clock). The driver may hand us any
+    session, so the timezone is pinned HERE — the documented contract entry
+    point — and stays pinned for the session (plans are lazy: a set/restore
+    scope would not survive until execution)."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _shipping(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
+        _pin_utc(spark)
         return fn(spark, sf_dir)
 
     return wrapped
@@ -66,6 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from nostr_data_pipeline_spark.operators.analytics import q1_pricing_summary
 
     _ensure_shipped(spark)
+    _pin_utc(spark)
     return q1_pricing_summary(spark, SF0001)
 
 

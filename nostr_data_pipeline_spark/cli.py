@@ -102,13 +102,10 @@ def cmd_top_repos(spark, args) -> None:
 
 
 def cmd_file(spark, args) -> None:
-    """Point lookup (reference cli.py `user`)."""
+    """Point lookup (reference cli.py `user`): bucket-pruned — only the
+    files of the bucket the key hashes to are opened, not the whole table."""
     t = _table(args)
-    rows = (
-        t.read(spark)
-        .filter((F.col("repo") == args.repo) & (F.col("path") == args.path))
-        .collect()
-    )
+    rows = t.read_keys(spark, [(args.repo, args.path)]).collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
     if not rows:

@@ -27,13 +27,13 @@ _KO = "가-힯"
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Pin the session to UTC: the testdata timestamps are LTZ, so bucket
-    # boundaries and collected values would otherwise follow whatever
-    # timezone the (driver-controlled) session happens to use, while the
-    # DuckDB oracle always sees naive UTC wall-clock. Deterministic results
-    # are the contract of this module.
-    if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Plain read, no session mutation. These queries are only
+    timezone-deterministic under a UTC session (testdata timestamps are LTZ;
+    the DuckDB oracle sees naive UTC wall-clock): sessions built by
+    ``session.get_spark`` pin UTC at creation, and the driver-contract
+    adapters in ``__spark_entry__`` pin it for externally-created sessions —
+    at that documented entry point, not as a hidden side effect of a read
+    helper (round-1 advice)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1088,6 +1088,62 @@ def _q_dedup_embedding(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+def u1_user_stats(spark, sf_dir):
+    """Per-entity drill-down — the reference's ``get_user_stats``
+    (/root/reference/src/nostr_pipeline/analytics/query.py:125-193): point
+    aggregates for one key PLUS its top-5 content by metric, composed into
+    ONE plan. The reference runs 5 separate queries; here the filtered scan
+    feeds both the scalar aggregate and the top-k, and the 1-row aggregate
+    broadcasts onto the top-5 rows (a 1-row broadcast, not a shuffle)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    agg = e.agg(
+        F.max("user_id").alias("user_id"),
+        F.count(F.lit(1)).alias("total_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+                      .otherwise(0.0)), 2).alias("purchase_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    top = (
+        e.select("event_id", "event_type", "value")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(5)
+    )
+    return (
+        top.crossJoin(F.broadcast(agg))
+        .select(
+            "user_id", "total_events", "purchases", "purchase_value", "avg_value",
+            F.col("event_id").alias("top_event_id"),
+            F.col("event_type").alias("top_event_type"),
+            F.round("value", 2).alias("top_value"),
+        )
+        .orderBy(F.col("top_value").desc(), "top_event_id")
+    )
+
+
+U1_SQL = """
+WITH e AS (SELECT * FROM events WHERE user_id = 7),
+agg AS (
+    SELECT max(user_id) AS user_id,
+           count(*) AS total_events,
+           count(*) FILTER (event_type = 'purchase') AS purchases,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0), 2)
+               AS purchase_value,
+           round(avg(value), 4) AS avg_value
+    FROM e
+),
+top AS (
+    SELECT event_id, event_type, value FROM e
+    ORDER BY value DESC, event_id LIMIT 5
+)
+SELECT user_id, total_events, purchases, purchase_value, avg_value,
+       event_id AS top_event_id, event_type AS top_event_type,
+       round(value, 2) AS top_value
+FROM top CROSS JOIN agg
+ORDER BY top_value DESC, top_event_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "f1_filter_topk": (f1_filter_topk, F1_SQL),
@@ -1127,4 +1183,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
     "s1_set_ops": (s1_set_ops, S1_SETOPS_SQL),
     "w4_running_total": (w4_running_total, W4_SQL),
+    "u1_user_stats": (u1_user_stats, U1_SQL),
 }

@@ -136,9 +136,25 @@ def minhash_near_duplicates(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.3, band_tokens: int = 2,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked candidate pairs. Blocking key = the
-    first `band_tokens` tokens (cheap prefix blocking); exact verify after."""
+    first `band_tokens` tokens (cheap prefix blocking); exact verify after.
+
+    SCALE CAVEAT: the prefix-token blocking key is SKEWED on natural text —
+    many documents share their first two tokens ("the", boilerplate headers,
+    license preambles), so one block can approach O(n^2) pairs at corpus
+    scale. This operator is the exact-verify demo for small/medium inputs;
+    ``minhash_near_duplicates`` (banded LSH on uniform hashes, same output
+    shape id1/id2/jaccard with the same exact-shingle verification) is the
+    100 TB path. ``max_rows`` guards the cliff: above it the call
+    auto-falls back to MinHash-LSH (one cheap count() probe; pass ``None``
+    to force prefix blocking regardless of size)."""
+    if max_rows is not None and df.count() > max_rows:
+        return minhash_near_duplicates(
+            df, id_col=id_col, text_col=text_col,
+            threshold=threshold, shingle_n=shingle_n,
+        )
     base = df.select(
         F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_toks")
     ).select(
@@ -324,7 +340,7 @@ def embedding_near_duplicates(
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from nostr_data_pipeline_spark.operators.analytics import load
 
-    return load(spark, sf_dir, name)  # pins session tz to UTC (determinism)
+    return load(spark, sf_dir, name)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):

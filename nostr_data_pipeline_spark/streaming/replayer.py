@@ -37,6 +37,7 @@ Dedup modes (``dedup_mode``):
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,7 +63,24 @@ class StreamingReplayer:
         salt: int = 16,
         collect_lineage: bool = True,
         dedup_mode: str = "guard",
+        source_factory: Callable[[SparkSession], DataFrame] | None = None,
     ):
+        """``source_factory``: optional seam replacing the default file-stream
+        reader (SURVEY S1 maps the reference's live WebSocket tail to "file
+        source or Kafka"; no broker ships in this sandbox, so the seam makes
+        the Kafka claim concrete without one). The callable receives the
+        SparkSession and must return a STREAMING DataFrame with LOG_SCHEMA
+        columns — e.g.::
+
+            lambda s: (s.readStream.format("kafka")
+                        .option("kafka.bootstrap.servers", bs)
+                        .option("subscribe", topic).load()
+                        .select(F.from_json(F.col("value").cast("string"),
+                                            LOG_SCHEMA).alias("e"))
+                        .select("e.*"))
+
+        The returned frame is used verbatim; dedup_mode still layers on top.
+        ``log_dir`` is ignored when a factory is given (pass "")."""
         if dedup_mode not in ("guard", "watermark"):
             raise ValueError(f"unknown dedup_mode {dedup_mode}")
         self.table = table
@@ -75,12 +93,16 @@ class StreamingReplayer:
         self.salt = salt
         self.collect_lineage = collect_lineage
         self.dedup_mode = dedup_mode
+        self.source_factory = source_factory
 
     def _source(self, spark: SparkSession) -> DataFrame:
-        reader = spark.readStream.schema(LOG_SCHEMA)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        df = reader.parquet(self.log_dir)
+        if self.source_factory is not None:
+            df = self.source_factory(spark)
+        else:
+            reader = spark.readStream.schema(LOG_SCHEMA)
+            if self.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+            df = reader.parquet(self.log_dir)
         if self.dedup_mode == "watermark":
             # bounded per-event-id state (SURVEY T3) — drops watermark-late
             # rows; see the module docstring for when this is safe

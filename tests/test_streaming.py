@@ -90,3 +90,28 @@ def test_killed_mid_stream_resumes_exactly_once(spark, tmp_path, expected):
     rep2 = StreamingReplayer(table, log_dir, ckpt, max_files_per_trigger=2)
     rep2.run_to_completion(spark)
     _final_matches(spark, table, expected)
+
+
+def test_source_factory_seam_used_verbatim(spark, tmp_path, expected):
+    """S1 source seam: a custom reader factory (the Kafka slot-in point)
+    must be used verbatim — the replayer's own log_dir is ignored."""
+    real = str(tmp_path / "real_log")
+    write_log(real, SPEC)
+    decoy = str(tmp_path / "decoy_log")
+    write_log(decoy, LogSpec(n_events=50, n_repos=2, paths_per_repo=2, seed=99, n_files=1))
+
+    calls = []
+
+    def factory(s):
+        calls.append(True)
+        return s.readStream.schema(
+            __import__("nostr_data_pipeline_spark.cdc.replayer",
+                       fromlist=["LOG_SCHEMA"]).LOG_SCHEMA
+        ).parquet(real)
+
+    t = SnapshotTable(str(tmp_path / "tbl"), num_buckets=8)
+    rep = StreamingReplayer(t, decoy, str(tmp_path / "ckpt"),
+                            source_factory=factory)
+    rep.run_to_completion(spark)
+    assert calls, "factory was not invoked"
+    _final_matches(spark, t, expected)  # state comes from the REAL log

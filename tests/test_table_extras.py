@@ -137,3 +137,69 @@ def test_time_travel_and_change_feed(spark, tmp_path):
         row = feed[(feed["repo"] == key[0]) & (feed["path"] == key[1])].iloc[0]
         if ct in ("insert", "update"):
             assert row["content_sha256"] == o2.loc[key, "content_sha256"]
+
+
+def test_delete_where_single_parallel_rewrite(spark, tmp_path):
+    """Round-1 verdict #3: delete_where must not loop buckets in Python.
+    Behavior contract: exact counts, only affected buckets rewritten,
+    NULL-condition rows kept, parallel (non-coalesce(1)) writes."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=8)
+    t.create(SCHEMA)
+    rows = [(f"r{i}", f"p{i}", f"n{i}", None if i % 2 else "x", i, f"e{i}")
+            for i in range(40)]
+    t.merge(spark, _df(spark, rows))
+    before = t.manifest()["buckets"]
+    # condition references `about`: NULL for odd i -> those rows must be KEPT
+    res = t.delete_where(spark, "about = 'x' AND last_seq < 20")
+    assert res["rows_deleted"] == 10  # even i in [0, 20)
+    assert t.read(spark).count() == 30
+    after = t.manifest()["buckets"]
+    untouched = [b for b in before if before[b] == after[b]]
+    rewritten = [b for b in before if before[b] != after[b]]
+    assert len(rewritten) == res["buckets_rewritten"]
+    # buckets holding only non-matching rows must carry forward by reference
+    assert untouched, "at least one bucket should be untouched at 8 buckets/10 hits"
+
+
+def test_read_keys_scans_single_bucket(spark, tmp_path):
+    """Round-1 verdict #4: point lookups open only the computed bucket's
+    files (1/num_buckets of the table), not every bucket."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=8)
+    t.create(SCHEMA)
+    rows = [(f"r{i}", f"p{i}", f"n{i}", None, i, f"e{i}") for i in range(64)]
+    t.merge(spark, _df(spark, rows))
+    buckets = t.buckets_for_keys(spark, [("r7", "p7")])
+    assert len(buckets) == 1
+    out = t.read_keys(spark, [("r7", "p7")])
+    got = out.collect()
+    assert len(got) == 1 and got[0]["name"] == "n7"
+    # the scan's file list is exactly the one bucket's files
+    files = out.inputFiles()
+    assert files and all(f"_bucket={buckets[0]}/" in f for f in files)
+    # multi-key lookup across two buckets
+    out2 = t.read_keys(spark, [("r7", "p7"), ("r13", "p13")])
+    assert {r["name"] for r in out2.collect()} == {"n7", "n13"}
+    # miss -> empty, still pruned
+    assert t.read_keys(spark, [("nope", "nope")]).count() == 0
+
+
+def test_changes_prunes_unchanged_buckets(spark, tmp_path):
+    """Round-1 verdict #8: the change feed joins only buckets whose manifest
+    file lists differ between the two versions."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=8)
+    t.create(SCHEMA)
+    rows = [(f"r{i}", f"p{i}", f"n{i}", None, i, f"e{i}") for i in range(32)]
+    t.merge(spark, _df(spark, rows))
+    v1 = t.current_version()
+    # touch exactly one key -> merge rewrites only its bucket
+    t.merge(spark, _df(spark, [("r3", "p3", "updated", None, 100, "e100")]))
+    v2 = t.current_version()
+    diff = t.changed_buckets(v1, v2)
+    one = t.buckets_for_keys(spark, [("r3", "p3")])
+    assert diff == one, "only the touched key's bucket may differ"
+    feed = t.changes(spark, v1, v2).collect()
+    assert len(feed) == 1
+    assert feed[0]["_change_type"] == "update" and feed[0]["name"] == "updated"
+    # metadata-only commit (schema evolution) changes no bucket
+    t.add_column("extra_col", "string")
+    assert t.changed_buckets(v2, t.current_version()) == []
