@@ -682,6 +682,37 @@ SELECT doc_id, sha256(text) AS fingerprint FROM documents ORDER BY doc_id
 """
 
 
+def fingerprint_rolling(spark, sf_dir):
+    """Document fingerprinting via a polynomial rolling hash over code
+    points — the order-sensitive, incremental-update complement to the
+    cryptographic sha256 fingerprint (a training-data pipeline uses it for
+    cheap shift-tolerant chunk identity, cf. Rabin-Karp / winnowing). Pure
+    JVM fold: ``aggregate(codepoints, 0, (h, c) -> (h*1000003 + c) mod
+    2^31-1)`` — ANSI-safe (h < 2^31, so h*1000003 + c < 2^52) and
+    whole-stage-codegen'd; no UDF."""
+    d = load(spark, sf_dir, "documents")
+    # split('') yields a trailing '' element (Java split, limit -1) — filter
+    # before the fold so the oracle (clean char list) folds the same stream
+    chars = F.filter(F.split(F.col("text"), ""), lambda x: x != "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * F.lit(1000003) + F.ascii(c), F.lit(2147483647)),
+    )
+    return d.select("doc_id", h.alias("rolling_hash")).orderBy("doc_id")
+
+
+FINGERPRINT_ROLLING_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [unicode(c)::BIGINT for c in string_split_regex(text, '') if c != '']),
+         (h, c) -> (h * 1000003 + c) % 2147483647
+       ) AS rolling_hash
+FROM documents ORDER BY doc_id
+"""
+
+
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on content, keeper = min id (full-width
     shuffle only on the digest, not the payload, at scale)."""
@@ -1170,6 +1201,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "fingerprint_sha256": (fingerprint_sha256, FINGERPRINT_SQL),
+    "fingerprint_rolling": (fingerprint_rolling, FINGERPRINT_ROLLING_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_SQL),
     "f4_like_lookup": (f4_like_lookup, F4_SQL),
