@@ -13,6 +13,8 @@ Usage (spark-submit or plain python):
   python -m nostr_data_pipeline_spark.cli top-repos --table /data/repo_files --limit 10
   python -m nostr_data_pipeline_spark.cli file --table /data/repo_files --repo R --path P
   python -m nostr_data_pipeline_spark.cli vacuum --table /data/repo_files
+  python -m nostr_data_pipeline_spark.cli retention --table /data/repo_files \
+      --where "updated_ts < timestamp'2024-01-01'"
   python -m nostr_data_pipeline_spark.cli lineage --table /data/repo_files --limit 20
 """
 
@@ -118,6 +120,14 @@ def cmd_vacuum(spark, args) -> None:
     print(json.dumps({"data_dirs_removed": removed}))
 
 
+def cmd_retention(spark, args) -> None:
+    """Retention purge (reference cleanup_old_data, event_loader.py:268-297):
+    hard-delete rows matching a SQL predicate, rewriting only affected
+    buckets. E.g. --where "updated_ts < timestamp'2024-01-01'"."""
+    t = _table(args)
+    print(json.dumps(t.delete_where(spark, args.where)))
+
+
 def cmd_changes(spark, args) -> None:
     """Change feed (CDC-out): net row-level changes between two versions.
     Bounded + iterator-based — the feed can be most of a large table."""
@@ -176,6 +186,8 @@ def main(argv=None) -> int:
     sp.add_argument("--path", required=True)
     sp = sub.add_parser("vacuum"); common(sp)
     sp.add_argument("--keep", type=int, default=2)
+    sp = sub.add_parser("retention"); common(sp)
+    sp.add_argument("--where", required=True)
     sp = sub.add_parser("lineage"); common(sp)
     sp.add_argument("--limit", type=int, default=20)
     sp = sub.add_parser("changes"); common(sp)
@@ -190,8 +202,8 @@ def main(argv=None) -> int:
     handlers = {
         "init-db": cmd_init_db, "replay": cmd_replay, "stream": cmd_stream,
         "stats": cmd_stats, "trending": cmd_trending, "top-repos": cmd_top_repos,
-        "file": cmd_file, "vacuum": cmd_vacuum, "lineage": cmd_lineage,
-        "changes": cmd_changes,
+        "file": cmd_file, "vacuum": cmd_vacuum, "retention": cmd_retention,
+        "lineage": cmd_lineage, "changes": cmd_changes,
     }
     handlers[args.cmd](spark, args)
     return 0

@@ -665,6 +665,36 @@ SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
 FROM documents ORDER BY doc_id
 """
 
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) match identically: contractions | space?+letters | space?+digits
+# | space?+punct-run | whitespace-run
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+"
+
+
+def token_counts_bpe(spark, sf_dir):
+    """BPE-ish token counting: the budget estimate an LLM-data pipeline
+    runs before paying for real tokenization — a GPT-2-style pre-tokenizer
+    regex (public: the pattern class from the GPT-2 encoder), counted
+    JVM-side with regexp_extract_all (no UDF). Reported next to the
+    whitespace count for calibration."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))).alias("n_bpe_tokens"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_COUNTS_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PAT.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
 
 def fingerprint_sha256(spark, sf_dir):
     """Document fingerprinting: sha256 over text, JVM-side (sha2); groups
@@ -1200,6 +1230,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "m1_virality_score": (m1_virality_score, M1_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "token_counts_bpe": (token_counts_bpe, TOKEN_COUNTS_BPE_SQL),
     "fingerprint_sha256": (fingerprint_sha256, FINGERPRINT_SQL),
     "fingerprint_rolling": (fingerprint_rolling, FINGERPRINT_ROLLING_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

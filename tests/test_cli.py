@@ -56,5 +56,9 @@ def test_cli_end_to_end(env):
     merged = [v for v in versions if "rows_inserted" in v.get("metrics", {})]
     assert merged and all("commits" in v for v in versions)
 
+    out = run_cli("retention", "--table", env["table"], "--where", "last_seq < 5")
+    ret = json.loads(out[-1])
+    assert "rows_deleted" in ret and "buckets_rewritten" in ret
+
     out = run_cli("vacuum", "--table", env["table"])
     assert "data_dirs_removed" in json.loads(out[-1])
