@@ -35,9 +35,10 @@ iceberg.apache.org/spec):
   discovered after some of its data events were already merged still yields
   the correct final state (add_seq is lowered monotonically, types widen
   monotonically), with zero backfill rewrite. The trade-off — a small
-  map-parse on read for evolved columns only — can be bought back with a
-  bucket-rewriting ``materialize`` compaction at leisure; correctness never
-  depends on it.
+  map-parse on read for evolved columns only — is bought back with the
+  bucket-rewriting ``materialize_evolved`` compaction at leisure (rows at or
+  below its ``mat_seq`` stamp read columnar; a later spec change drops the
+  stamp); correctness never depends on it.
 
 Single-writer (one streaming query / one replayer), many-reader — matching
 the reference's single-process writer model.
@@ -165,18 +166,27 @@ class SnapshotTable:
                  include_tombstones: bool, with_payload: bool,
                  payload_col: str, seq_col: str) -> DataFrame:
         """Shared read-side projection: virtual evolved columns + tombstone
-        filter (see class docstring)."""
+        filter (see class docstring). A column materialized by
+        ``materialize_evolved`` reads physically for rows at or below its
+        ``mat_seq`` watermark and virtually (payload parse) for rows merged
+        after — the parse cost shrinks to the hot tail."""
         evolved = m.get("evolved", {})
         if evolved and payload_col in df.columns:
             payload = F.from_json(payload_col, "map<string,string>")
             for name, spec in evolved.items():
-                df = df.withColumn(
-                    name,
-                    F.when(
-                        F.col(seq_col) > F.lit(spec["add_seq"]),
-                        payload[name].cast(spec["type"]),
-                    ),
+                parsed = F.when(
+                    F.col(seq_col) > F.lit(spec["add_seq"]),
+                    payload[name].cast(spec["type"]),
                 )
+                mat_seq = spec.get("mat_seq")
+                if mat_seq is not None and name in df.columns:
+                    df = df.withColumn(
+                        name,
+                        F.when(F.col(seq_col) > F.lit(mat_seq), parsed)
+                        .otherwise(F.col(name).cast(spec["type"])),
+                    )
+                else:
+                    df = df.withColumn(name, parsed)
             if not with_payload:
                 df = df.drop(payload_col)
         if not include_tombstones:
@@ -313,6 +323,11 @@ class SnapshotTable:
             seq = min(cur["add_seq"], int(add_seq))
             if typ == cur["type"] and seq == cur["add_seq"]:
                 return False
+            # spec changed (add_seq lowered / type widened): any mat_seq is
+            # dropped, so reads fall back to the always-correct virtual
+            # projection — a stale materialization can never surface (rows in
+            # (new_add_seq, old_add_seq] were materialized as NULL).
+            # Re-materialize at leisure.
             evolved[name] = {"type": typ, "add_seq": seq}
         self._commit({**m, "version": m["version"] + 1, "evolved": evolved,
                       "metrics": {"schema_change": f"evolve {name} {spark_type}@{add_seq}"}})
@@ -510,6 +525,72 @@ class SnapshotTable:
         return True
 
     # ------------------------------------------------------------- housekeeping
+    def materialize_evolved(self, spark: SparkSession) -> dict[str, Any]:
+        """Compaction that buys back the read-time payload parse for evolved
+        columns (the trade-off named in the class docstring): rewrite every
+        bucket with the evolved columns stored PHYSICALLY, and stamp each
+        spec with ``mat_seq`` = the table's max last_seq at compaction time.
+        Reads then parse the payload only for rows merged AFTER compaction
+        (``last_seq > mat_seq``); the cold bulk reads columnar. A later
+        schema event that lowers add_seq or widens the type drops the stamp
+        (evolve_column), so correctness NEVER depends on when — or whether —
+        this runs. One parallel job, same repartition/partitionBy write
+        pattern as merge."""
+        m = self.manifest()
+        evolved = m.get("evolved", {})
+        if not evolved:
+            return {"materialized_columns": 0}
+        # physical columns join the schema (before _deleted, like add_column);
+        # an already-physical column whose spec has since WIDENED is re-typed
+        # to the spec (else a re-materialization would truncate wide values)
+        schema = T.StructType.fromJson(m["schema"])
+        fields = [
+            T.StructField(f.name, _parse_type(evolved[f.name]["type"]), True)
+            if f.name in evolved else f
+            for f in schema.fields if f.name != "_deleted"
+        ]
+        for name, spec in evolved.items():
+            if name not in schema.fieldNames():
+                fields.append(T.StructField(name, _parse_type(spec["type"]), True))
+        fields.append(schema["_deleted"])
+        new_schema = T.StructType(fields)
+
+        df = self.read(spark, include_tombstones=True, with_payload=True)
+        hi = df.agg(F.max("last_seq")).first()[0]
+        if hi is None:
+            return {"materialized_columns": 0}
+        out = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in new_schema.fields]
+        ).withColumn("_bucket", self.bucket_expr())
+
+        new_version = m["version"] + 1
+        data_rel = f"data-v{new_version:08d}"
+        out_dir = os.path.join(self.path, data_rel)
+        (
+            out.repartition(self.num_buckets, F.col("_bucket"))
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_buckets: dict[str, list[str]] = {}
+        for b in range(self.num_buckets):
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            new_buckets[str(b)] = [
+                f"{data_rel}/_bucket={b}/{fn}"
+                for fn in sorted(os.listdir(bdir))
+                if fn.endswith(".parquet")
+            ] if os.path.isdir(bdir) else []
+        new_evolved = {
+            name: {**spec, "mat_seq": int(hi)} for name, spec in evolved.items()
+        }
+        self._commit({**m, "version": new_version,
+                      "schema": new_schema.jsonValue(),
+                      "buckets": new_buckets, "evolved": new_evolved,
+                      "metrics": {"materialize_evolved": sorted(evolved),
+                                  "mat_seq": int(hi)}})
+        return {"materialized_columns": len(evolved), "mat_seq": int(hi)}
+
     def delete_where(self, spark: SparkSession, condition: str) -> dict[str, Any]:
         """Row-level retention delete (the reference's cleanup_old_data,
         /root/reference/src/nostr_pipeline/loaders/event_loader.py:268-297):

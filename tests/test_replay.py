@@ -107,3 +107,42 @@ def test_lineage_metrics_recorded(spark, log_dir, tmp_path):
             total = sum(mf["metrics"]["lineage_rows_per_bucket"].values())
             assert total > 0
     assert found
+
+
+def test_materialize_evolved_mid_replay(spark, log_dir, expected, tmp_path):
+    """materialize_evolved buys back the evolved-column payload parse
+    without ever owning correctness: replay 60% of the log, compact, replay
+    the rest (whose widen event must DROP the stale size_bytes stamp), and
+    the final state still equals the oracle exactly."""
+    import pyspark.sql.functions as F
+
+    from nostr_data_pipeline_spark.cdc.replayer import (
+        LOG_SCHEMA, TARGET_BASE_SCHEMA, replay_batch,
+    )
+
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=8)
+    t.create(TARGET_BASE_SCHEMA)
+    log = spark.read.schema(LOG_SCHEMA).parquet(log_dir)
+    hi = log.agg(F.max("seq")).first()[0]
+    cutoff = int(hi * 0.6)  # after the 40%/55% schema adds, before the 70% widen
+    replay_batch(spark, t, log.filter(F.col("seq") <= cutoff), "s", 0)
+
+    res = t.materialize_evolved(spark)
+    assert res["materialized_columns"] == 2  # size_bytes + stars
+    ev = t.manifest()["evolved"]
+    assert ev["size_bytes"]["mat_seq"] == res["mat_seq"]
+    assert "size_bytes" in t.schema().fieldNames()  # physically present now
+
+    replay_batch(spark, t, log.filter(F.col("seq") > cutoff), "s", 1)
+    ev = t.manifest()["evolved"]
+    assert "mat_seq" not in ev["size_bytes"], "widen must drop the stale stamp"
+    assert ev["size_bytes"]["type"] == "long"
+    assert "mat_seq" in ev["stars"], "untouched column keeps its stamp"
+    _check_final_state(spark, t, expected)
+
+    # re-materialize at the final state: still oracle-exact, all stamped,
+    # and the physical field is re-typed to the WIDENED spec (no truncation)
+    t.materialize_evolved(spark)
+    assert all("mat_seq" in s for s in t.manifest()["evolved"].values())
+    assert t.schema()["size_bytes"].dataType.typeName() == "long"
+    _check_final_state(spark, t, expected)
