@@ -82,6 +82,12 @@ def minhash_near_duplicates(
     base = df.select(
         F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_toks")
     ).select("_id", shingles_of_tokens(F.col("_toks"), shingle_n).alias("_sh"))
+    # The shingle table feeds THREE consumers (signature explode + both
+    # verify-join sides); without materialization each re-tokenizes the
+    # corpus — measured 3x the operator's wall at sf0.1. Standard
+    # intermediate materialization (MEMORY_AND_DISK, LRU-evictable); at
+    # cluster scale persist to a temp table instead.
+    base = base.persist()
     # Signature via explode + k primitive min-aggregates: every buffer is a
     # long, so this stays a whole-stage-codegen HashAggregate with map-side
     # combine. (The one-liner array_min(transform(...)) x k alternative in
@@ -161,7 +167,7 @@ def ngram_jaccard_pairs(
         "_id",
         shingles_of_tokens(F.col("_toks"), shingle_n).alias("_sh"),
         F.concat_ws(" ", F.slice(F.col("_toks"), 1, band_tokens)).alias("_blk"),
-    )
+    ).persist()  # both self-join sides read it; see minhash note
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
         r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id"))
@@ -245,7 +251,9 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """(id1, id2, hamming) for pairs within max_hamming bits of 64. Candidate
     iff one 16-bit chunk matches exactly (pigeonhole for hamming<=3)."""
-    base = simhash_fingerprint(df, id_col, text_col)
+    # the fingerprint aggregation (token explode + 64 primitive sums) would
+    # run once per self-join side; materialize it once (see minhash note)
+    base = simhash_fingerprint(df, id_col, text_col).persist()
     banded = base.select(
         "_id", "chunk0", "chunk1", "chunk2", "chunk3",
         F.posexplode(F.array("chunk0", "chunk1", "chunk2", "chunk3")).alias("_band", "_bh"),
@@ -314,7 +322,7 @@ def embedding_near_duplicates(
     base = df.select(
         F.col(id_col).alias("_id"), v.alias("_v"),
         embedding_lsh_bucket(v, dim, n_planes).alias("_bkt"),
-    )
+    ).persist()  # n_planes dot products per row, read by both join sides
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
         r, (F.col("l._bkt") == F.col("r._bkt")) & (F.col("l._id") < F.col("r._id"))
