@@ -156,3 +156,49 @@ def test_session_window_aggregator(spark, tmp_path):
     # session extent = first event .. last event + gap
     one = out.filter("repo = 'repo-a'").orderBy("session_start").first()
     assert one["last_seq"] - one["first_seq"] == 19
+
+
+def test_running_repo_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-repo cumulative stats must accumulate
+    ACROSS micro-batches through the state store and match a batch
+    groupBy of the full log."""
+    import pyspark.sql.functions as F
+
+    from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log
+    from nostr_data_pipeline_spark.cdc.replayer import LOG_SCHEMA
+    from nostr_data_pipeline_spark.streaming.stateful import running_repo_stats
+
+    d = str(tmp_path / "log")
+    write_log(d, LogSpec(n_events=2000, n_repos=6, paths_per_repo=8, seed=3, n_files=4))
+
+    stream = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)   # force multiple micro-batches
+        .parquet(d)
+    )
+    out: dict[str, tuple] = {}
+
+    def sink(batch, batch_id):
+        for r in batch.collect():   # update-mode: latest row per repo wins
+            out[r["repo"]] = (r["n_events"], r["n_deletes"], r["max_seq"])
+
+    q = (
+        running_repo_stats(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    expected = {
+        r["repo"]: (r["n"], r["d"], r["m"])
+        for r in spark.read.schema(LOG_SCHEMA).parquet(d)
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("d"),
+             F.max("seq").alias("m"))
+        .collect()
+    }
+    assert out == expected
