@@ -50,6 +50,26 @@ from nostr_data_pipeline_spark.cdc.replayer import (
 from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
 
 
+def parse_wire_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode a wire-format stream (Kafka value bytes / socket lines of JSON
+    events — the reference's relay frames,
+    /root/reference/src/nostr_pipeline/extractors/relay_client.py:153-197)
+    into LOG_SCHEMA rows. PERMISSIVE parse: malformed JSON yields a row of
+    nulls (mirrors the reference's JSONDecodeError -> skip; filter
+    ``event_id IS NOT NULL`` downstream to drop them). Composes with
+    ``source_factory``::
+
+        StreamingReplayer(..., source_factory=lambda s: parse_wire_events(
+            s.readStream.format("kafka").option(...).load()))
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        raw.select(F.from_json(F.col(value_col).cast("string"), LOG_SCHEMA).alias("e"))
+        .select("e.*")
+    )
+
+
 class StreamingReplayer:
     def __init__(
         self,

@@ -608,7 +608,10 @@ class SnapshotTable:
            pattern merge uses — every bucket writes concurrently, files stay
            key-sorted for row-group pruning.
         Rows where the condition evaluates to NULL are KEPT (only
-        condition=TRUE rows are purged)."""
+        condition=TRUE rows are purged). The condition sees PHYSICAL
+        columns (retention predicates are on updated_ts/last_seq/keys);
+        virtual evolved columns are a read-time projection and cannot be
+        referenced here unless materialize_evolved has made them physical."""
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
         all_files = [f for fs in m["buckets"].values() for f in fs]

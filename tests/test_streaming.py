@@ -115,3 +115,44 @@ def test_source_factory_seam_used_verbatim(spark, tmp_path, expected):
     rep.run_to_completion(spark)
     assert calls, "factory was not invoked"
     _final_matches(spark, t, expected)  # state comes from the REAL log
+
+
+def test_parse_wire_events_decodes_and_streams(spark, tmp_path, expected):
+    """Wire-format decode (Kafka/socket shape): JSON event frames -> LOG
+    rows, malformed frames -> null rows (reference JSONDecodeError skip);
+    composed with source_factory it must replay to the oracle state."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from nostr_data_pipeline_spark.cdc.generator import make_log_frame
+    from nostr_data_pipeline_spark.streaming.replayer import parse_wire_events
+
+    # serialize the log as JSON "wire frames" (what a Kafka value would hold)
+    pdf = make_log_frame(SPEC)
+    frames = [
+        _json.dumps({**r, "ts": r["ts"].isoformat(sep=" ")})
+        for r in pdf.to_dict("records")
+    ]
+    frames.append("{not json")  # one malformed frame
+    wire_dir = tmp_path / "wire"
+    wire_dir.mkdir()
+    (wire_dir / "frames.txt").write_text("\n".join(frames))
+
+    # batch-mode decode check first (same expression the stream uses)
+    raw = spark.read.text(str(wire_dir)).withColumnRenamed("value", "value")
+    decoded = parse_wire_events(raw)
+    ok = decoded.filter(F.col("event_id").isNotNull())
+    assert ok.count() == len(pdf)
+    assert decoded.count() == len(pdf) + 1  # malformed row survives as nulls
+
+    # streamed through the factory seam -> full oracle parity
+    t = SnapshotTable(str(tmp_path / "tbl"), num_buckets=8)
+    rep = StreamingReplayer(
+        t, "", str(tmp_path / "ckpt"),
+        source_factory=lambda s: parse_wire_events(
+            s.readStream.text(str(wire_dir))
+        ).filter(F.col("event_id").isNotNull()),
+    )
+    rep.run_to_completion(spark)
+    _final_matches(spark, t, expected)
