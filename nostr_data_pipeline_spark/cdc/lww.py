@@ -71,7 +71,14 @@ def resolve_lww(
     payload = [c for c in df.columns if c not in key_cols]
     if mode in ("maxseq", "maxseq_shuffle"):
         winners = df.groupBy(*key_cols).agg(F.max(seq_col).alias("_max_seq"))
-        if mode == "maxseq" and max_broadcast_keys is not None:
+        # The guard count is an EAGER batch action, so it cannot run on an
+        # unbounded streaming frame (count() would raise) — a streaming
+        # caller resolves per micro-batch inside foreachBatch (bounded
+        # batches; the engine's own path, streaming/replayer.py), where the
+        # guard applies normally. Composing resolve_lww directly into a
+        # streaming plan keeps the forced broadcast: the caller owns
+        # cardinality there.
+        if mode == "maxseq" and max_broadcast_keys is not None and not df.isStreaming:
             if stats is not None:
                 winners = winners.persist()
             n_keys = winners.count()

@@ -23,6 +23,15 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Dedup intermediates (shingle/fingerprint/bucket tables) feed 2-3 consumers
+# each and are cached MEMORY_ONLY: evictable under pressure (recomputed, not
+# spilled — a disk-persisted block would outlive the query and leak for the
+# session), and these lazy plan-builders cannot unpersist for the caller.
+# Long-lived services doing many dedup calls can clear them wholesale with
+# spark.catalog.clearCache().
+_CACHE_LEVEL = StorageLevel.MEMORY_ONLY
 
 
 # ---------------------------------------------------------------------------
@@ -84,10 +93,9 @@ def minhash_near_duplicates(
     ).select("_id", shingles_of_tokens(F.col("_toks"), shingle_n).alias("_sh"))
     # The shingle table feeds THREE consumers (signature explode + both
     # verify-join sides); without materialization each re-tokenizes the
-    # corpus — measured 3x the operator's wall at sf0.1. Standard
-    # intermediate materialization (MEMORY_AND_DISK, LRU-evictable); at
-    # cluster scale persist to a temp table instead.
-    base = base.persist()
+    # corpus — measured 3x the operator's wall at sf0.1. See _CACHE_LEVEL
+    # note; at cluster scale persist to a temp table instead.
+    base = base.persist(_CACHE_LEVEL)
     # Signature via explode + k primitive min-aggregates: every buffer is a
     # long, so this stays a whole-stage-codegen HashAggregate with map-side
     # combine. (The one-liner array_min(transform(...)) x k alternative in
@@ -154,20 +162,25 @@ def ngram_jaccard_pairs(
     ``minhash_near_duplicates`` (banded LSH on uniform hashes, same output
     shape id1/id2/jaccard with the same exact-shingle verification) is the
     100 TB path. ``max_rows`` guards the cliff: above it the call
-    auto-falls back to MinHash-LSH (one cheap count() probe; pass ``None``
-    to force prefix blocking regardless of size)."""
-    if max_rows is not None and df.count() > max_rows:
-        return minhash_near_duplicates(
-            df, id_col=id_col, text_col=text_col,
-            threshold=threshold, shingle_n=shingle_n,
-        )
+    auto-falls back to MinHash-LSH. The guard count runs on the PERSISTED
+    blocking table, so it doubles as the cache materialization the real
+    job reuses — on the small inputs that stay on this path it adds no
+    extra pass over the (possibly expensive) upstream plan. It does make
+    the call eager; pass ``None`` to stay lazy and force prefix blocking
+    regardless of size."""
     base = df.select(
         F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_toks")
     ).select(
         "_id",
         shingles_of_tokens(F.col("_toks"), shingle_n).alias("_sh"),
         F.concat_ws(" ", F.slice(F.col("_toks"), 1, band_tokens)).alias("_blk"),
-    ).persist()  # both self-join sides read it; see minhash note
+    ).persist(_CACHE_LEVEL)  # both self-join sides read it; see _CACHE_LEVEL note
+    if max_rows is not None and base.count() > max_rows:
+        base.unpersist()
+        return minhash_near_duplicates(
+            df, id_col=id_col, text_col=text_col,
+            threshold=threshold, shingle_n=shingle_n,
+        )
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
         r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id"))
@@ -252,8 +265,8 @@ def simhash_near_duplicates(
     """(id1, id2, hamming) for pairs within max_hamming bits of 64. Candidate
     iff one 16-bit chunk matches exactly (pigeonhole for hamming<=3)."""
     # the fingerprint aggregation (token explode + 64 primitive sums) would
-    # run once per self-join side; materialize it once (see minhash note)
-    base = simhash_fingerprint(df, id_col, text_col).persist()
+    # run once per self-join side; materialize it once (see _CACHE_LEVEL note)
+    base = simhash_fingerprint(df, id_col, text_col).persist(_CACHE_LEVEL)
     banded = base.select(
         "_id", "chunk0", "chunk1", "chunk2", "chunk3",
         F.posexplode(F.array("chunk0", "chunk1", "chunk2", "chunk3")).alias("_band", "_bh"),
@@ -322,7 +335,7 @@ def embedding_near_duplicates(
     base = df.select(
         F.col(id_col).alias("_id"), v.alias("_v"),
         embedding_lsh_bucket(v, dim, n_planes).alias("_bkt"),
-    ).persist()  # n_planes dot products per row, read by both join sides
+    ).persist(_CACHE_LEVEL)  # n_planes dot products/row, both join sides read it
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
         r, (F.col("l._bkt") == F.col("r._bkt")) & (F.col("l._id") < F.col("r._id"))

@@ -180,10 +180,23 @@ class SnapshotTable:
                 )
                 mat_seq = spec.get("mat_seq")
                 if mat_seq is not None and name in df.columns:
+                    # The physical value is an OPTIMIZATION, never the source
+                    # of truth: a row merged after compaction — even with
+                    # last_seq <= mat_seq (late new key; winner over an
+                    # older row) — carries physical NULL, so null-physical
+                    # rows fall back to the always-correct payload parse
+                    # (coalesce short-circuits per row in codegen: columnar
+                    # read unless physical is null). Replace-mode merges
+                    # null the physical on every touched row, so a stale
+                    # non-null physical cannot survive; coalesce-mode
+                    # field-upserts on evolved columns should re-materialize
+                    # (documented in materialize_evolved).
                     df = df.withColumn(
                         name,
                         F.when(F.col(seq_col) > F.lit(mat_seq), parsed)
-                        .otherwise(F.col(name).cast(spec["type"])),
+                        .otherwise(
+                            F.coalesce(F.col(name).cast(spec["type"]), parsed)
+                        ),
                     )
                 else:
                     df = df.withColumn(name, parsed)
@@ -218,7 +231,14 @@ class SnapshotTable:
         min/max on the key-sorted files prunes further (merge writes files
         ``sortWithinPartitions(*key_cols)``). ``keys`` is a small driver-side
         list (a CLI lookup, a dim probe) — the predicate is an OR of
-        per-key conjunctions pushed into the scan."""
+        per-key conjunctions pushed into the scan. An empty key list
+        returns an empty frame (no scan)."""
+        if not keys:
+            return self.read(
+                spark, include_tombstones=include_tombstones,
+                with_payload=with_payload, payload_col=payload_col,
+                seq_col=seq_col, buckets=[],
+            )
         buckets = self.buckets_for_keys(spark, keys)
         df = self.read(spark, include_tombstones=include_tombstones,
                        with_payload=with_payload, payload_col=payload_col,
@@ -534,8 +554,14 @@ class SnapshotTable:
         (``last_seq > mat_seq``); the cold bulk reads columnar. A later
         schema event that lowers add_seq or widens the type drops the stamp
         (evolve_column), so correctness NEVER depends on when — or whether —
-        this runs. One parallel job, same repartition/partitionBy write
-        pattern as merge."""
+        this runs. Rows merged AFTER compaction — including late ones whose
+        last_seq lands at or below mat_seq — carry physical NULL and are
+        read via the payload parse (the stamp only routes NON-NULL physical
+        values; see _project). Assumes replace-mode merges for evolved
+        columns (the CDC path; every touched row's physical is nulled):
+        after coalesce-mode field-upserts touching evolved columns,
+        re-materialize before relying on columnar reads. One parallel job,
+        same repartition/partitionBy write pattern as merge."""
         m = self.manifest()
         evolved = m.get("evolved", {})
         if not evolved:

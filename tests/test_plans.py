@@ -142,3 +142,21 @@ def test_lww_guard_folds_into_winner_agg(spark, tmp_path):
         assert out.count() == 25  # same result through the guarded path
     finally:
         stats2["winners"].unpersist()
+
+
+def test_resolve_lww_composes_into_streaming_plans(spark, tmp_path):
+    """The guard count is an eager batch action; on a STREAMING frame
+    resolve_lww must skip it (foreachBatch is where the guard applies) and
+    still build a valid lazy plan."""
+    from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log
+    from nostr_data_pipeline_spark.cdc.lww import resolve_lww
+    from nostr_data_pipeline_spark.cdc.replayer import LOG_SCHEMA
+
+    d = str(tmp_path / "log")
+    write_log(d, LogSpec(n_events=200, n_repos=3, paths_per_repo=3, seed=2, n_files=1))
+    stream = spark.readStream.schema(LOG_SCHEMA).parquet(d)
+    out = resolve_lww(
+        stream.select("repo", "path", "seq", "event_id", "content"),
+        ("repo", "path"), "seq", "event_id", mode="maxseq",
+    )
+    assert out.isStreaming  # plan built lazily, no eager count crash

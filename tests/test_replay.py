@@ -146,3 +146,36 @@ def test_materialize_evolved_mid_replay(spark, log_dir, expected, tmp_path):
     assert all("mat_seq" in s for s in t.manifest()["evolved"].values())
     assert t.schema()["size_bytes"].dataType.typeName() == "long"
     _check_final_state(spark, t, expected)
+
+
+def test_materialized_column_survives_late_low_seq_merges(spark, tmp_path):
+    """Review repro (round 2): rows merged AFTER materialization whose
+    last_seq lands at or below mat_seq carry physical NULL — the evolved
+    value must still come from the payload parse, never silently read as
+    the NULL physical."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from nostr_data_pipeline_spark.cdc.replayer import TARGET_BASE_SCHEMA
+
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4)
+    t.create(TARGET_BASE_SCHEMA)
+    t.evolve_column("size_bytes", "long", 5)
+
+    def src(rows):
+        data = [
+            ("r", p, "c", "py", "x", "h", _json.dumps({"size_bytes": str(sb)}),
+             seq, f"e{seq}", None)
+            for p, sb, seq in rows
+        ]
+        return spark.createDataFrame(data, TARGET_BASE_SCHEMA)
+
+    t.merge(spark, src([("pA", 123, 10), ("pB", 6, 6)]))
+    t.materialize_evolved(spark)  # mat_seq = 10
+
+    # late NEW key at seq 7 (< mat_seq) and an UPDATE at seq 8 winning over
+    # the seq-6 row — both arrive after compaction, physical NULL
+    t.merge(spark, src([("pC", 77, 7), ("pB", 8, 8)]))
+    got = {r["path"]: r["size_bytes"] for r in t.read(spark).collect()}
+    assert got == {"pA": 123, "pC": 77, "pB": 8}

@@ -203,3 +203,12 @@ def test_changes_prunes_unchanged_buckets(spark, tmp_path):
     # metadata-only commit (schema evolution) changes no bucket
     t.add_column("extra_col", "string")
     assert t.changed_buckets(v2, t.current_version()) == []
+
+
+def test_read_keys_empty_list(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4)
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, [("r", "p", "n", None, 1, "e1")]))
+    out = t.read_keys(spark, [])
+    assert out.count() == 0
+    assert "name" in out.columns
