@@ -230,3 +230,23 @@ def test_ivf_centroids_stable_across_layout(spark):
     c1 = train_ivf_centroids(sdf, n_cells=8)
     c2 = train_ivf_centroids(sdf.repartition(13, "vec_id"), n_cells=8)
     assert np.array_equal(c1, c2)
+
+
+def test_xxh64_replica_randomized_corpus(spark):
+    """Randomized (seeded) parity sweep: 200 strings spanning lengths 0-200,
+    unicode planes, and chained int/long seeds — one Spark job total."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abc ABC 0123 \t\n_-#漢字ñé😀" * 3
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = [
+        (r[0], r[1])
+        for r in df.select(F.xxhash64("s"), F.xxhash64(F.lit(17), "s")).collect()
+    ]
+    exp = [(xxhash64(s), xxhash64(17, s)) for s in samples]
+    assert got == exp
