@@ -233,20 +233,29 @@ def test_ivf_centroids_stable_across_layout(spark):
 
 
 def test_xxh64_replica_randomized_corpus(spark):
-    """Randomized (seeded) parity sweep: 200 strings spanning lengths 0-200,
-    unicode planes, and chained int/long seeds — one Spark job total."""
+    """Randomized (seeded) parity sweep: 200 strings spanning lengths 0-200
+    and unicode planes, hashed bare, int-seed-chained, and LONG-seed-chained
+    (the hash_long path the minhash band replica relies on) — one Spark job
+    total."""
     import random
 
     rng = random.Random(1234)
-    alphabet = "abc ABC 0123 \t\n_-#漢字ñé😀" * 3
+    alphabet = "abc ABC 0123 \t\n_-#漢字ñé😀"
     samples = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200)))
         for _ in range(200)
     ]
+    big = 1234567890123  # > int32 -> LongType literal -> hash_long chaining
     df = spark.createDataFrame([(s,) for s in samples], ["s"])
     got = [
-        (r[0], r[1])
-        for r in df.select(F.xxhash64("s"), F.xxhash64(F.lit(17), "s")).collect()
+        tuple(r)
+        for r in df.select(
+            F.xxhash64("s"), F.xxhash64(F.lit(17), "s"),
+            F.xxhash64(F.lit(big), "s"),
+        ).collect()
     ]
-    exp = [(xxhash64(s), xxhash64(17, s)) for s in samples]
+    exp = [
+        (xxhash64(s), xxhash64(17, s), xxhash64(("long", big), s))
+        for s in samples
+    ]
     assert got == exp
