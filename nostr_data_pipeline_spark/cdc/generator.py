@@ -228,7 +228,16 @@ def write_log_spark(spark, out_dir: str, spec: LogSpec = LogSpec()) -> None:
         F.substring(F.col("commit"), 1, 12), F.lit("'\n"), F.repeat(F.lit("#"), pad),
     )
     df = df.withColumn("content", F.when(F.col("op") != "delete", content))
-    sb_at, st_at = int(0.40 * n), int(0.55 * n)
+    # derive payload thresholds from the spec like the pandas path does
+    # (first_add per column) — a custom schema_changes tuple keeps payloads
+    # aligned with its own column-add positions. The Spark generator's
+    # payload builder knows the two default columns; other names get
+    # schema_change rows but no payload values (same as pandas).
+    first_add: dict[str, int] = {}
+    for frac, col, _typ in spec.schema_changes:
+        first_add.setdefault(col, int(frac * n))
+    sb_at = first_add.get("size_bytes", n + 1)
+    st_at = first_add.get("stars", n + 1)
     extra = F.when(
         (F.col("op") != "delete") & (F.col("seq") > F.lit(st_at)),
         F.format_string('{"size_bytes": %d, "stars": %d}',

@@ -37,13 +37,22 @@ def reduce_log(log: pd.DataFrame) -> pd.DataFrame:
     df = log.sort_values(["seq", "event_id"], kind="mergesort")
     df = df.drop_duplicates(subset=["event_id"], keep="first")
 
-    # Active schema: ordered column adds/widens.
+    # Active schema: ordered column adds/widens. Types evolve MONOTONICALLY
+    # (the engine contract, SnapshotTable.evolve_column): a later NARROWER
+    # request against an already-wider column is a no-op, not an overwrite —
+    # the oracle must encode the same rule or narrow-after-widen logs would
+    # make oracle and engine diverge.
+    _widen_ok = {("int", "long"), ("int", "double"), ("long", "double"),
+                 ("float", "double")}
     sc = df[df["op"] == "schema_change"]
     evolved: dict[str, str] = {}
     add_seq: dict[str, int] = {}
     for _, r in sc.iterrows():
-        evolved[r["sc_col_name"]] = r["sc_col_type"]  # later widen overwrites type
-        add_seq.setdefault(r["sc_col_name"], int(r["seq"]))
+        name, new_t = r["sc_col_name"], r["sc_col_type"]
+        cur = evolved.get(name)
+        if cur is None or cur == new_t or (cur, new_t) in _widen_ok:
+            evolved[name] = new_t
+        add_seq.setdefault(name, int(r["seq"]))
 
     data = df[df["op"] != "schema_change"]
     # Last writer per key wins (max (seq, event_id)); drop_duplicates keep=last

@@ -257,6 +257,12 @@ def replay_log(
         return result
     bounds = log.select(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty log: nothing to chunk (single-batch path handles it)
+        result.batches.append(
+            replay_batch(spark, table, log, stream_id, 0,
+                         lww_mode=lww_mode, salt=salt, collect_lineage=collect_lineage)
+        )
+        return result
     step = max(1, (hi - lo + 1) // n_batches)
     for b in range(n_batches):
         lo_b = lo + b * step

@@ -97,20 +97,48 @@ class SnapshotTable:
 
     def _commit(self, manifest: dict[str, Any]) -> None:
         """Atomic commit: manifest write is the WAL, pointer swap is the
-        commit point."""
+        commit point. Every step is fsynced (file data before each rename,
+        the directory after) so the pointer can never land on a manifest
+        whose bytes didn't survive a power loss — rename atomicity alone
+        only covers process crashes, not unflushed page cache."""
         v = manifest["version"]
         mp = self._manifest_path(v)
         tmp = mp + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, mp)
         vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex}"
         with open(vtmp, "w") as f:
             f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(vtmp, self._version_file())
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def bucket_expr(self) -> F.Column:
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.num_buckets)).cast("int")
+
+    def _list_written_buckets(self, out_dir: str, data_rel: str,
+                              buckets) -> dict[str, list[str]]:
+        """Manifest entries for a just-written ``partitionBy('_bucket')``
+        output: each requested bucket's parquet files (relative paths), []
+        for buckets whose rows were all filtered away. Single-sourced for
+        every commit path (merge / materialize / retention)."""
+        out: dict[str, list[str]] = {}
+        for b in buckets:
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            out[str(b)] = [
+                f"{data_rel}/_bucket={b}/{fn}"
+                for fn in sorted(os.listdir(bdir))
+                if fn.endswith(".parquet")
+            ] if os.path.isdir(bdir) else []
+        return out
 
     # ---------------------------------------------------------------- create
     def create(self, schema: T.StructType) -> None:
@@ -169,7 +197,12 @@ class SnapshotTable:
         filter (see class docstring). A column materialized by
         ``materialize_evolved`` reads physically for rows at or below its
         ``mat_seq`` watermark and virtually (payload parse) for rows merged
-        after — the parse cost shrinks to the hot tail."""
+        after — the parse cost shrinks to the hot tail.
+
+        The payload drop honors ``with_payload`` UNCONDITIONALLY (not only
+        once evolved columns exist): the output schema must not flip the
+        moment the first schema_change commits — downstream consumers of
+        read()/changes() are built against a stable shape."""
         evolved = m.get("evolved", {})
         if evolved and payload_col in df.columns:
             payload = F.from_json(payload_col, "map<string,string>")
@@ -200,8 +233,8 @@ class SnapshotTable:
                     )
                 else:
                     df = df.withColumn(name, parsed)
-            if not with_payload:
-                df = df.drop(payload_col)
+        if not with_payload and payload_col in df.columns:
+            df = df.drop(payload_col)
         if not include_tombstones:
             df = df.filter(~F.col("_deleted")).drop("_deleted")
         return df
@@ -253,7 +286,9 @@ class SnapshotTable:
         return df.filter(pred)
 
     def changes(self, spark: SparkSession, from_version: int,
-                to_version: int | None = None) -> DataFrame:
+                to_version: int | None = None,
+                seq_col: str = "last_seq",
+                tie_col: str = "last_event_id") -> DataFrame:
         """Change feed (CDC-out): net row-level changes between two snapshot
         versions, for downstream incremental consumers — the capability the
         reference's consumers lack entirely (they re-query full tables).
@@ -282,11 +317,11 @@ class SnapshotTable:
         n_exists = F.col(f"n.{keys[0]}").isNotNull()
         o_live = o_exists & ~F.coalesce(F.col("o._deleted"), F.lit(False))
         n_live = n_exists & ~F.coalesce(F.col("n._deleted"), F.lit(False))
-        same_row = F.coalesce(
-            (F.col("o.last_seq") == F.col("n.last_seq"))
-            & (F.col("o.last_event_id") == F.col("n.last_event_id")),
-            F.lit(False),
-        )
+        # null-safe: a row rewritten unchanged (retention rewrote its bucket)
+        # with a NULL tie value must not surface as a spurious 'update'
+        same_row = F.col(f"o.{seq_col}").eqNullSafe(F.col(f"n.{seq_col}")) & F.col(
+            f"o.{tie_col}"
+        ).eqNullSafe(F.col(f"n.{tie_col}"))
         change = (
             F.when(~o_live & n_live, "insert")
             .when(o_live & ~n_live, "delete")
@@ -383,8 +418,18 @@ class SnapshotTable:
             /root/reference/src/nostr_pipeline/loaders/event_loader.py:60-87:
             ``if profile_data.get(field) is not None: setattr(...)``).
 
-        Returns commit metrics (rows_inserted/updated/deleted/unchanged).
+        Returns commit metrics (rows_inserted/updated/deleted/tombstoned/
+        unchanged; 'tombstoned' = a winning delete that found no live target
+        row — absent key or already-dead — so a dead bookkeeping row was
+        written but no live row died).
         Idempotent per (stream_id, batch_id): a replayed batch is a no-op.
+
+        The source is evaluated twice (affected-bucket probe + the write);
+        if the caller has not already persisted it, merge pins the conformed
+        source itself for the duration — both for the double-execution cost
+        and because a NON-DETERMINISTIC source (sample(), changed input
+        files) could otherwise hash rows into buckets the probe never saw,
+        writing files the manifest would not register.
         """
         m = self.manifest()
         if stream_id is not None and batch_id is not None:
@@ -403,6 +448,22 @@ class SnapshotTable:
         src = src.select([F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
 
         src = src.withColumn("_bucket", self.bucket_expr())
+        sl = source.storageLevel
+        own_cache = not (sl.useMemory or sl.useDisk)
+        if own_cache:
+            src = src.persist()
+        try:
+            return self._merge_pinned(
+                spark, src, m, schema, seq_col, tie_col, delete_col,
+                stream_id, batch_id, extra_metrics, update_mode,
+            )
+        finally:
+            if own_cache:
+                src.unpersist()
+
+    def _merge_pinned(self, spark, src, m, schema, seq_col, tie_col,
+                      delete_col, stream_id, batch_id, extra_metrics,
+                      update_mode) -> dict[str, Any]:
         affected = sorted(r[0] for r in src.select("_bucket").distinct().collect())
         if not affected:
             return {"rows_written": 0, "buckets_rewritten": 0}
@@ -435,10 +496,15 @@ class SnapshotTable:
                 upd = s_val
             return F.when(s_wins, upd).otherwise(t_val).alias(f.name)
 
+        s_del, t_del = F.col(f"s.{delete_col}"), F.col(f"t.{delete_col}")
         merged = joined.select(
             *[_winner(f) for f in schema.fields],
-            F.when(s_wins & ~t_exists & ~F.col(f"s.{delete_col}"), "insert")
-            .when(s_wins & t_exists & F.col(f"s.{delete_col}") & ~F.col(f"t.{delete_col}"), "delete")
+            F.when(s_wins & ~t_exists & ~s_del, "insert")
+            .when(s_wins & t_exists & s_del & ~t_del, "delete")
+            # winning delete with no LIVE target (absent key, or re-delete of
+            # a tombstone): a dead bookkeeping row is written — counted
+            # separately, not as 'unchanged'/'update' (accounting honesty)
+            .when(s_wins & s_del, "tombstone")
             .when(s_wins & t_exists, "update")
             .otherwise("unchanged")
             .alias("_action"),
@@ -454,6 +520,7 @@ class SnapshotTable:
             F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("rows_inserted"),
             F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("rows_updated"),
             F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("rows_deleted"),
+            F.sum(F.when(F.col("_action") == "tombstone", 1).otherwise(0)).alias("rows_tombstoned"),
             F.sum(F.when(F.col("_action") == "unchanged", 1).otherwise(0)).alias("rows_unchanged"),
         )
         merged = merged.drop("_action").withColumn("_bucket", self.bucket_expr())
@@ -474,18 +541,8 @@ class SnapshotTable:
         )
         metrics = dict(obs.get)
 
-        # map written files back to buckets
         new_buckets = dict(m["buckets"])
-        for b in affected:
-            new_buckets[str(b)] = []
-        for b in affected:
-            bdir = os.path.join(out_dir, f"_bucket={b}")
-            if os.path.isdir(bdir):
-                new_buckets[str(b)] = [
-                    f"{data_rel}/_bucket={b}/{fn}"
-                    for fn in sorted(os.listdir(bdir))
-                    if fn.endswith(".parquet")
-                ]
+        new_buckets.update(self._list_written_buckets(out_dir, data_rel, affected))
 
         commits = dict(m["commits"])
         if stream_id is not None and batch_id is not None:
@@ -599,14 +656,9 @@ class SnapshotTable:
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        new_buckets: dict[str, list[str]] = {}
-        for b in range(self.num_buckets):
-            bdir = os.path.join(out_dir, f"_bucket={b}")
-            new_buckets[str(b)] = [
-                f"{data_rel}/_bucket={b}/{fn}"
-                for fn in sorted(os.listdir(bdir))
-                if fn.endswith(".parquet")
-            ] if os.path.isdir(bdir) else []
+        new_buckets = self._list_written_buckets(
+            out_dir, data_rel, range(self.num_buckets)
+        )
         new_evolved = {
             name: {**spec, "mat_seq": int(hi)} for name, spec in evolved.items()
         }
@@ -673,13 +725,7 @@ class SnapshotTable:
         )
 
         new_buckets = dict(m["buckets"])
-        for b in affected:
-            bdir = os.path.join(out_dir, f"_bucket={b}")
-            new_buckets[str(b)] = [
-                f"{data_rel}/_bucket={b}/{fn}"
-                for fn in sorted(os.listdir(bdir))
-                if fn.endswith(".parquet")
-            ] if os.path.isdir(bdir) else []
+        new_buckets.update(self._list_written_buckets(out_dir, data_rel, affected))
         removed_total = int(sum(per_bucket.values()))
         self._commit({**m, "version": new_version, "buckets": new_buckets,
                       "metrics": {"retention_delete": condition,

@@ -179,3 +179,15 @@ def test_materialized_column_survives_late_low_seq_merges(spark, tmp_path):
     t.merge(spark, src([("pC", 77, 7), ("pB", 8, 8)]))
     got = {r["path"]: r["size_bytes"] for r in t.read(spark).collect()}
     assert got == {"pA": 123, "pC": 77, "pB": 8}
+
+
+def test_replay_log_empty_dir_chunked(spark, tmp_path):
+    """Empty log + n_batches > 1 must not crash on None seq bounds."""
+    import os as _os
+
+    empty = str(tmp_path / "empty")
+    _os.makedirs(empty)
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4)
+    res = replay_log(spark, t, empty, n_batches=4)
+    assert len(res.batches) == 1 and res.rows_applied == 0
+    assert t.read(spark).count() == 0

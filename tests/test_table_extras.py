@@ -212,3 +212,81 @@ def test_read_keys_empty_list(spark, tmp_path):
     out = t.read_keys(spark, [])
     assert out.count() == 0
     assert "name" in out.columns
+
+
+def test_merge_pins_nondeterministic_source(spark, tmp_path):
+    """Review fix: merge must pin an uncached source so the affected-bucket
+    probe and the write see the SAME rows — every written row is registered
+    in the manifest even when the source is non-deterministic."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=8)
+    t.create(SCHEMA)
+    src = spark.range(200).select(
+        F.concat(F.lit("r"), (F.rand(seed=None) * 1000).cast("int").cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.lit("n").alias("name"), F.lit(None).cast("string").alias("about"),
+        F.col("id").alias("last_seq"),
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("last_event_id"),
+    )
+    metrics = t.merge(spark, src)
+    # every row the write emitted must be readable back (no orphan buckets)
+    assert t.read(spark, include_tombstones=True).count() == metrics["rows_written"]
+    reg = {f for fs in t.manifest()["buckets"].values() for f in fs}
+    import os as _os
+    on_disk = set()
+    for root, _d, files in _os.walk(t.path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                on_disk.add(_os.path.relpath(_os.path.join(root, fn), t.path))
+    assert on_disk == reg, "written parquet files must all be manifest-registered"
+
+
+def test_merge_tombstone_accounting(spark, tmp_path):
+    """A winning delete for an absent key writes a dead bookkeeping row —
+    counted as rows_tombstoned, not silently 'unchanged'."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4)
+    t.create(SCHEMA)
+    dead = _df(spark, [("r", "ghost", None, None, 5, "e5")]).withColumn(
+        "_deleted", F.lit(True))
+    m1 = t.merge(spark, dead)
+    assert m1["rows_tombstoned"] == 1 and m1["rows_deleted"] == 0
+    assert t.read(spark).count() == 0
+    assert t.read(spark, include_tombstones=True).count() == 1
+    # re-delete with higher seq: still a tombstone write, not an 'update'
+    dead2 = _df(spark, [("r", "ghost", None, None, 6, "e6")]).withColumn(
+        "_deleted", F.lit(True))
+    m2 = t.merge(spark, dead2)
+    assert m2["rows_tombstoned"] == 1 and m2["rows_updated"] == 0
+    # late older upsert still cannot resurrect
+    t.merge(spark, _df(spark, [("r", "ghost", "zombie", None, 4, "e4")]))
+    assert t.read(spark).count() == 0
+
+
+def test_read_schema_stable_before_evolution(spark, tmp_path):
+    """with_payload=False is honored even before any schema_change: the
+    read()/changes() schema must not flip when the first evolution commits."""
+    from nostr_data_pipeline_spark.cdc.replayer import TARGET_BASE_SCHEMA
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4)
+    t.create(TARGET_BASE_SCHEMA)
+    pre = t.read(spark).columns
+    assert "extra_json" not in pre
+    t.evolve_column("stars", "long", 1)
+    post = t.read(spark).columns
+    assert "extra_json" not in post
+    assert set(post) == set(pre) | {"stars"}
+    assert "extra_json" in t.read(spark, with_payload=True).columns
+
+
+def test_changes_null_tie_not_spurious_update(spark, tmp_path):
+    """Null-safe change detection: a bucket rewrite (retention) that leaves
+    rows byte-identical — including rows with a NULL tie column — must not
+    emit spurious updates."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4)
+    t.create(SCHEMA)
+    rows = [("r", f"p{i}", f"n{i}", None, i, None if i % 2 else f"e{i}")
+            for i in range(10)]
+    t.merge(spark, _df(spark, rows))
+    v1 = t.current_version()
+    t.delete_where(spark, "last_seq >= 8")  # rewrites buckets; 8 rows survive
+    feed = t.changes(spark, v1).collect()
+    assert {r["_change_type"] for r in feed} == {"delete"}
+    assert len(feed) == 2
