@@ -18,9 +18,11 @@ LIKE_CONTENT = ("+", "👍", "❤️", "🤙")
 
 def extract_hashtags(content: Column, tags: Column) -> Column:
     """C1 (event_processor.py:210-223): lowercase #\\w+ from content, unioned
-    with lowercase 't' tag values, de-duplicated."""
+    with lowercase 't' tag values, de-duplicated. ``(?U)`` makes Java's
+    ``\\w`` Unicode-aware like Python's — without it #日本語 is dropped and
+    #café truncates to 'caf' (the corpus carries zh/ja/ko content)."""
     from_content = F.transform(
-        F.regexp_extract_all(content, F.lit(r"#(\w+)"), 1), F.lower
+        F.regexp_extract_all(content, F.lit(r"(?U)#(\w+)"), 1), F.lower
     )
     from_tags = F.transform(
         F.filter(tags, lambda t: (F.size(t) >= 2) & (t[0] == "t")),
@@ -30,8 +32,11 @@ def extract_hashtags(content: Column, tags: Column) -> Column:
 
 
 def extract_urls(content: Column) -> Column:
-    """C2 (event_processor.py:225-227): https?://[^\\s]+ findall."""
-    return F.regexp_extract_all(content, F.lit(r"(https?://[^\s]+)"), 1)
+    """C2 (event_processor.py:225-227): https?://[^\\s]+ findall. ``(?U)``
+    stops Unicode whitespace (e.g. the ideographic space U+3000, standard in
+    CJK text) from being absorbed into the URL — a corrupted trailing char
+    would defeat the media-extension match downstream."""
+    return F.regexp_extract_all(content, F.lit(r"(?U)(https?://[^\s]+)"), 1)
 
 
 def extract_mentions(tags: Column) -> Column:
@@ -106,8 +111,11 @@ def bolt11_msats(bolt11: Column) -> Column:
         .when(mult_char == "p", 0.0001)
         .otherwise(100_000_000_000.0)
     )
-    # cast double->long truncates toward zero, matching Python int()
-    return F.when(num.isNotNull(), (num * mult).cast("long"))
+    # try_cast: double->long truncates toward zero, matching Python int();
+    # an over-long product (absurd amount) yields null like every other
+    # unparseable invoice instead of an ANSI CAST_OVERFLOW killing the job
+    # (the reference's try/except returns None per event)
+    return F.when(num.isNotNull(), (num * mult).try_cast("long"))
 
 
 def parse_zap_receipt(tags: Column) -> Column:
@@ -119,8 +127,11 @@ def parse_zap_receipt(tags: Column) -> Column:
     comment, amount_msats)."""
 
     def tag_val(name: str) -> Column:
+        # LAST occurrence wins: the reference's loop overwrites on every
+        # matching tag (event_processor.py:173-187), so duplicate e/p/
+        # bolt11/description tags resolve to the final one
         return F.try_element_at(
-            F.filter(tags, lambda t: (F.size(t) >= 2) & (t[0] == name)), F.lit(1)
+            F.filter(tags, lambda t: (F.size(t) >= 2) & (t[0] == name)), F.lit(-1)
         )[1]
 
     desc = tag_val("description")

@@ -565,19 +565,19 @@ def m1_virality_score(spark, sf_dir):
     # ltz-cast here would interpret them in the (driver-controlled) session
     # timezone and skew across DST transitions
     age_h = F.expr("timestampdiff(MICROSECOND, last_ts, gmax)").cast("double") / 3.6e9
-    base = (
-        3.0 * F.col("n_purchase")
-        + 0.001 * F.col("purchase_value")
-        + 2.0 * F.col("n_click")
-        + 2.5 * F.col("n_signup")
-        + 1.0 * F.col("n_view")
-    )
-    # age<=0 -> decay 1.0 guard, mirroring metrics_calculator.py:51-54
-    decay = F.when(age_h <= 0, F.lit(1.0)).otherwise(F.exp(-0.1155 * age_h))
+    # the ONE definition of M1 (weights, decay, age<=0 guard, rounding) lives
+    # in functions.metrics.virality_score — the query maps its columns onto
+    # that signature so the formula cannot desynchronize from the shared
+    # exact-parity expression
+    from nostr_data_pipeline_spark.functions.metrics import virality_score
+
     return (
         j.select(
             "user_id",
-            F.round(base * decay, 2).alias("virality"),
+            virality_score(
+                F.col("n_purchase"), F.col("purchase_value"), F.col("n_click"),
+                F.col("n_signup"), F.col("n_view"), age_h,
+            ).alias("virality"),
         )
         .orderBy(F.col("virality").desc(), F.col("user_id"))
         .limit(20)

@@ -57,17 +57,18 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  n_planes: int = 8, probe_flips: int = 1, seed: int = 42) -> DataFrame:
     """Approximate top-k: search only the query's LSH bucket plus all buckets
     within ``probe_flips`` sign-bit flips (recall knob)."""
+    from itertools import combinations
+
     dim = len(query_vec)
     planes = np.array(_hyperplanes(dim, n_planes, seed))
     qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
-    probe = {qsig}
-    if probe_flips >= 1:
-        probe |= {qsig ^ (1 << i) for i in range(n_planes)}
-    if probe_flips >= 2:
-        probe |= {
-            qsig ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes) for j in range(i + 1, n_planes)
-        }
+    # probe = every bucket within probe_flips sign-bit flips (general — no
+    # silent cap: flips=k really searches all C(n_planes, <=k) buckets)
+    probe = {
+        qsig ^ sum(1 << i for i in bits)
+        for k in range(min(probe_flips, n_planes) + 1)
+        for bits in combinations(range(n_planes), k)
+    }
 
     from nostr_data_pipeline_spark.operators.dedup import embedding_lsh_bucket
 

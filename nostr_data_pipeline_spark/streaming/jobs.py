@@ -27,10 +27,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 
-def route_batch(batch: DataFrame, routes: dict[str, tuple]) -> dict[str, int]:
+def route_batch(batch: DataFrame, routes: dict[str, tuple],
+                batch_id: int | None = None) -> dict[str, int]:
     """Apply predicate routes to one micro-batch: one shared scan, each route
-    appends its filtered projection to its sink dir. routes[name] =
-    (predicate_column, out_dir, optional projection list)."""
+    writes its filtered projection to its sink dir. routes[name] =
+    (predicate_column, out_dir, optional projection list).
+
+    ``batch_id`` (set by RouterSink): each batch lands in its own
+    ``batch_id=<n>`` partition dir with OVERWRITE semantics — foreachBatch
+    is at-least-once, and a retried batch (a later route's write failed
+    mid-loop before the checkpoint committed) overwrites its own dir instead
+    of appending duplicates. Readers of the route dir see a ``batch_id``
+    partition column (free lineage). ``None`` keeps plain append (ad hoc
+    batch use outside a stream)."""
     batch = batch.persist()
     counts: dict[str, int] = {}
     try:
@@ -40,7 +49,12 @@ def route_batch(batch: DataFrame, routes: dict[str, tuple]) -> dict[str, int]:
             routed = batch.filter(pred)
             if proj:
                 routed = routed.select(*proj)
-            routed.write.mode("append").parquet(out_dir)
+            if batch_id is None:
+                routed.write.mode("append").parquet(out_dir)
+            else:
+                routed.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch_id={batch_id}")
+                )
             counts[name] = routed.count()
     finally:
         batch.unpersist()
@@ -48,13 +62,14 @@ def route_batch(batch: DataFrame, routes: dict[str, tuple]) -> dict[str, int]:
 
 
 class RouterSink:
-    """foreachBatch sink that routes each micro-batch (T4)."""
+    """foreachBatch sink that routes each micro-batch (T4) exactly-once-
+    effectively: per-batch partition dirs + overwrite make retries no-ops."""
 
     def __init__(self, routes: dict[str, tuple]):
         self.routes = routes
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        route_batch(batch, self.routes)
+        route_batch(batch, self.routes, batch_id=batch_id)
 
 
 class WindowedAggregator:

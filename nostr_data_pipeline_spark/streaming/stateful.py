@@ -9,10 +9,9 @@ the `applyInPandasWithState` pattern for stateful logic that windowed
 aggregation cannot express (cumulative state with no window close).
 
 Each micro-batch emits one updated row per repo seen in that batch:
-cumulative event count, delete count, max seq, and distinct-path watermark
-(exact per-batch, cumulative via state). Arrow-batched like every other
-Python touchpoint in this engine — the per-group function receives pandas
-frames, never per-row Python.
+cumulative event count, delete count, and max seq. Arrow-batched like every
+other Python touchpoint in this engine — the per-group function receives
+pandas frames, never per-row Python.
 """
 
 from __future__ import annotations

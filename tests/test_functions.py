@@ -230,3 +230,46 @@ def test_sha256_udf_matches_oracle_kernel(spark):
     assert got[:2] + got[3:] == want[:2] + want[3:]
     # normalization canonicalizes CRLF
     assert got[0] == hashlib.sha256(b"hello\nworld").hexdigest()
+
+
+def test_hashtag_and_url_unicode(spark):
+    """Java \\w / \\s are ASCII-only without (?U); the reference's Python
+    patterns are Unicode-aware — parity requires the flag (round-2 review)."""
+    df = one(
+        spark,
+        content="hello #日本語 and #café #test see https://a.com/pic.jpg　next",
+        tags=[["p", "x"]],
+    )
+    tags_got = df.select(
+        EV.extract_hashtags(F.col("content"), F.col("tags")).alias("h")
+    ).first()["h"]
+    assert set(tags_got) == {"日本語", "café", "test"}
+    urls = df.select(EV.extract_urls(F.col("content")).alias("u")).first()["u"]
+    assert urls == ["https://a.com/pic.jpg"]
+    assert df.select(
+        EV.has_media(EV.extract_urls(F.col("content"))).alias("m")
+    ).first()["m"] is True
+
+
+def test_zap_receipt_duplicate_tags_last_wins(spark):
+    """The reference's tag loop overwrites per name — duplicates resolve to
+    the LAST occurrence (event_processor.py:173-187)."""
+    df = one(spark, content="", tags=[
+        ["e", "first_e"], ["p", "first_p"], ["e", "second_e"], ["p", "second_p"],
+    ])
+    z = df.select(EV.parse_zap_receipt(F.col("tags")).alias("z")).first()["z"]
+    assert z["target_event_id"] == "second_e"
+    assert z["target_pubkey"] == "second_p"
+
+
+def test_bolt11_overflow_yields_null_not_crash(spark):
+    """ANSI mode: an absurd amount must behave like any unparseable invoice
+    (null), not raise CAST_OVERFLOW and kill the batch."""
+    df = one(spark, content="", tags=[["p", "x"]])
+    vals = df.select(
+        EV.bolt11_msats(F.lit("lnbc99999999999999999999m1xyz")).alias("a"),
+        EV.bolt11_msats(F.lit("lnbc99999999")).alias("b"),  # no multiplier, BTC scale
+        EV.bolt11_msats(F.lit("lnbc1000m1abc")).alias("ok"),
+    ).first()
+    assert vals["a"] is None and vals["b"] is None
+    assert vals["ok"] == 100_000_000

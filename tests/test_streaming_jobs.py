@@ -44,9 +44,20 @@ def test_router_sink(spark, tmp_path, log_dir):
     )
     q.awaitTermination()
     log = spark.read.schema(LOG_SCHEMA).parquet(log_dir)
+    n_deletes = log.filter("op = 'delete'").count()
     deletes = spark.read.parquet(str(tmp_path / "deletes"))
-    assert deletes.count() == log.filter("op = 'delete'").count()
-    assert deletes.columns == ["event_id", "seq", "repo", "path", "ts"]
+    assert deletes.count() == n_deletes
+    # batch_id partition column = free lineage + the retry-idempotence key
+    assert deletes.columns == ["event_id", "seq", "repo", "path", "ts", "batch_id"]
+    bid = int(deletes.select("batch_id").first()[0])
+    # retry idempotence: re-running a committed batch overwrites its own
+    # partition dir instead of appending duplicates (re-read after the
+    # overwrite — the old frame's file index is stale by design)
+    from nostr_data_pipeline_spark.streaming.jobs import route_batch
+    replay = log.filter("op = 'delete'").select("event_id", "seq", "repo", "path", "ts")
+    route_batch(replay, {"deletes_audit": (F.lit(True), str(tmp_path / "deletes"))},
+                batch_id=bid)
+    assert spark.read.parquet(str(tmp_path / "deletes")).count() == n_deletes
     py = spark.read.parquet(str(tmp_path / "py"))
     assert py.count() == log.filter("op != 'delete' AND lang = 'py'").count()
     sc = spark.read.parquet(str(tmp_path / "schema"))
