@@ -92,12 +92,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _shipping(fn) for name, (fn, _sql) in QUERIES.items()
     }
-    try:  # rows-only operators (no SQL-expressible oracle)
-        from nostr_data_pipeline_spark.operators.dedup import ROWS_ONLY_QUERIES
+    # rows-only operators (no SQL-expressible oracle). Import errors must
+    # PROPAGATE: swallowing them would silently drop four contract queries
+    # and mask the real traceback behind a later "unknown query".
+    from nostr_data_pipeline_spark.operators.dedup import ROWS_ONLY_QUERIES
 
-        out.update({name: _shipping(fn) for name, fn in ROWS_ONLY_QUERIES.items()})
-    except ImportError:
-        pass
+    out.update({name: _shipping(fn) for name, fn in ROWS_ONLY_QUERIES.items()})
     return out
 
 

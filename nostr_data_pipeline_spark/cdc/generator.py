@@ -229,24 +229,33 @@ def write_log_spark(spark, out_dir: str, spec: LogSpec = LogSpec()) -> None:
     )
     df = df.withColumn("content", F.when(F.col("op") != "delete", content))
     # derive payload thresholds from the spec like the pandas path does
-    # (first_add per column) — a custom schema_changes tuple keeps payloads
-    # aligned with its own column-add positions. The Spark generator's
-    # payload builder knows the two default columns; other names get
-    # schema_change rows but no payload values (same as pandas).
+    # (first_add per column), and gate each field INDEPENDENTLY on its own
+    # add position (the pandas path's sb_part/st_part logic) — a chained
+    # when() keyed on one ordering would fabricate size_bytes payloads for
+    # specs that never add that column, or wrongly order custom specs. The
+    # Spark generator's payload builder knows the two default columns;
+    # other names get schema_change rows but no payload values (same as
+    # pandas).
     first_add: dict[str, int] = {}
     for frac, col, _typ in spec.schema_changes:
         first_add.setdefault(col, int(frac * n))
     sb_at = first_add.get("size_bytes", n + 1)
     st_at = first_add.get("stars", n + 1)
-    extra = F.when(
-        (F.col("op") != "delete") & (F.col("seq") > F.lit(st_at)),
-        F.format_string('{"size_bytes": %d, "stars": %d}',
-                        F.pmod(F.xxhash64("seq", F.lit(5)), F.lit(1_000_000)),
-                        F.pmod(F.xxhash64("seq", F.lit(6)), F.lit(50_000))),
-    ).when(
-        (F.col("op") != "delete") & (F.col("seq") > F.lit(sb_at)),
-        F.format_string('{"size_bytes": %d}',
+    not_del = F.col("op") != "delete"
+    sb_frag = F.when(
+        not_del & (F.col("seq") > F.lit(sb_at)),
+        F.format_string('"size_bytes": %d',
                         F.pmod(F.xxhash64("seq", F.lit(5)), F.lit(1_000_000))),
+    )
+    st_frag = F.when(
+        not_del & (F.col("seq") > F.lit(st_at)),
+        F.format_string('"stars": %d',
+                        F.pmod(F.xxhash64("seq", F.lit(6)), F.lit(50_000))),
+    )
+    parts = F.array_compact(F.array(sb_frag, st_frag))
+    extra = F.when(
+        F.size(parts) > 0,
+        F.concat(F.lit("{"), F.concat_ws(", ", parts), F.lit("}")),
     )
     df = df.withColumn("extra_json", extra)
     df = df.withColumn("event_id",

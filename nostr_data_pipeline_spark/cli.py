@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 def _table(args):
     from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
 
-    return SnapshotTable(args.table, num_buckets=args.buckets)
+    # existing tables carry their layout in the manifest — the persisted
+    # num_buckets/key_cols win over --buckets (which only sizes NEW tables);
+    # trusting the flag would probe wrong buckets and corrupt merges
+    t = SnapshotTable(args.table, num_buckets=args.buckets)
+    return SnapshotTable.open(args.table) if t.exists() else t
 
 
 def cmd_init_db(spark, args) -> None:

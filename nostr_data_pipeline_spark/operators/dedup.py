@@ -66,8 +66,14 @@ def shingles(text_col, n: int = 3) -> F.Column:
 
 def minhash_signature(shingle_col, num_hashes: int = 32) -> F.Column:
     """array<long> of num_hashes min-hashes; seed mixed via xxhash64(seed, s).
-    (Seeds must be bound via a closure factory — a `h=h` default param would
-    flip pyspark's lambda into the (element, index) form.)"""
+
+    PERFORMANCE TRAP — kept only as the single-column expression form for
+    small inline use: the k-way array_min(transform(...)) tree is too large
+    for whole-stage codegen and falls back to interpreted eval, measured
+    ~10x slower than the explode + k primitive min-aggregates pipeline
+    minhash_near_duplicates actually uses. Prefer that path for any real
+    corpus. (Seeds must be bound via a closure factory — a `h=h` default
+    param would flip pyspark's lambda into the (element, index) form.)"""
 
     def _minhash(h: int) -> F.Column:
         return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(F.lit(h), s)))
@@ -87,6 +93,14 @@ def minhash_near_duplicates(
     """(id1, id2, jaccard) pairs with estimated-then-verified Jaccard >=
     threshold. LSH: split the signature into `bands` bands of
     num_hashes/bands rows; a pair is a candidate iff some band hashes equal."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band hash a CONSTANT (zero
+        # rows per band) — every pair collides and the join degenerates to
+        # the full cross product; a non-dividing bands silently discards
+        # trailing hashes. Fail fast instead.
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} evenly"
+        )
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_toks")
@@ -332,9 +346,19 @@ def embedding_near_duplicates(
     """(id1, id2, cos_sim) pairs with cosine >= threshold; candidates blocked
     by hyperplane LSH bucket, verified exactly within buckets."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # dim mismatch nulls every hyperplane dot product (zip_with pads with
+    # nulls) and collapses all rows into one bucket — the "blocked" join
+    # silently becomes the full cross product. Fail fast per row instead.
+    bkt = F.when(
+        F.size(F.col(vec_col)) == dim, embedding_lsh_bucket(v, dim, n_planes)
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"embedding length != dim={dim}: got "),
+            F.size(F.col(vec_col)).cast("string"),
+        ))
+    )
     base = df.select(
-        F.col(id_col).alias("_id"), v.alias("_v"),
-        embedding_lsh_bucket(v, dim, n_planes).alias("_bkt"),
+        F.col(id_col).alias("_id"), v.alias("_v"), bkt.alias("_bkt"),
     ).persist(_CACHE_LEVEL)  # n_planes dot products/row, both join sides read it
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(

@@ -9,13 +9,15 @@ fake derived from the payload bytes (``strict=False``, default — keeps the
 Spark-side plumbing, schemas, partitioning, and batch shapes fully real and
 testable).
 
-Swap-in point for production: replace `_fake_*` with PIL/ffmpeg calls inside
-the same mapInPandas generators; nothing else changes.
+Swap-in point for production: replace the inlined `fake_feature` kernel with
+PIL/ffmpeg calls inside the same mapInPandas generator; nothing else changes.
+(The kernel is inlined INSIDE the generator on purpose — cloudpickle ships it
+by value so executors never need this module importable; keep any edits
+there, it is the single copy.)
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -73,18 +75,6 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real decoder+model: a byte-histogram
-    profile seeded by the payload's sha256. REPLACE with real decode."""
-    h = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(h[:8], "big")
-    hist = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256)
-    base = hist[:dim] if dim <= 256 else np.pad(hist, (0, dim - 256))
-    mix = np.random.default_rng(seed).standard_normal(dim) * 0.01
-    v = base.astype(np.float64) / max(len(payload), 1) + mix
-    return (v / max(np.linalg.norm(v), 1e-12)).astype(np.float32)
-
-
 def extract_features(df: DataFrame, dim: int = 64, strict: bool = False) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches). ``strict``
     raises NotImplementedError at the decode point (the honest stub).
@@ -138,9 +128,17 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 step = max(1, len(payload) // n_frames)
                 for i in range(n_frames):
+                    # the LAST frame takes the remainder so the frames
+                    # PARTITION the payload (floor-div alone drops up to
+                    # n_frames-1 trailing bytes); empty frames (payload
+                    # shorter than n_frames) are skipped, not emitted
+                    hi = len(payload) if i == n_frames - 1 else (i + 1) * step
+                    chunk = bytes(payload[i * step:hi])
+                    if not chunk:
+                        continue
                     out_ids.append(mid)
                     out_idx.append(i)
-                    out_payloads.append(bytes(payload[i * step:(i + 1) * step]))
+                    out_payloads.append(chunk)
             yield pd.DataFrame(
                 {"media_id": out_ids, "frame_idx": out_idx, "frame_payload": out_payloads}
             )
@@ -157,7 +155,9 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
     )
     return df.filter(F.col("kind") == "image").select(
         "media_id", "payload",
-        (F.col("width") * scale).cast("int").alias("new_width"),
-        (F.col("height") * scale).cast("int").alias("new_height"),
+        # round, not truncate: cast('int') floors, so a 322-wide image at
+        # max_side=256 came out 255 and short sides were off by one
+        F.round(F.col("width") * scale).cast("int").alias("new_width"),
+        F.round(F.col("height") * scale).cast("int").alias("new_height"),
         F.round(scale, 6).alias("scale"),
     )

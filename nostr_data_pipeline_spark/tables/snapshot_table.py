@@ -86,11 +86,34 @@ class SnapshotTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, f"manifest-v{version:08d}.json")
 
-    def manifest(self, version: int | None = None) -> dict[str, Any]:
+    @classmethod
+    def open(cls, path: str) -> "SnapshotTable":
+        """Open an EXISTING table with its persisted layout (key_cols,
+        num_buckets) read from the manifest — the safe constructor when the
+        caller did not create the table: a handle whose bucket count
+        disagrees with the on-disk layout would probe the wrong bucket on
+        point reads and merge updates past existing rows (duplicate keys)."""
+        m = cls(path)._raw_manifest()
+        return cls(path, key_cols=tuple(m["key_cols"]),
+                   num_buckets=int(m["num_buckets"]))
+
+    def _raw_manifest(self, version: int | None = None) -> dict[str, Any]:
         if version is None:
             version = self.current_version()
         with open(self._manifest_path(version)) as f:
             return json.load(f)
+
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        m = self._raw_manifest(version)
+        # layout guard: a handle constructed with a different bucketing than
+        # the table was written with must fail fast, not corrupt silently
+        if m.get("num_buckets") not in (None, self.num_buckets):
+            raise ValueError(
+                f"table at {self.path} has num_buckets={m['num_buckets']} but "
+                f"this handle was constructed with {self.num_buckets}; use "
+                f"SnapshotTable.open({self.path!r})"
+            )
+        return m
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.manifest()["schema"])

@@ -105,3 +105,16 @@ def test_ngram_guard_falls_back_to_minhash(spark, docs_with_dups):
     f = {(r["id1"], r["id2"]): r["jaccard"] for r in fallen.collect()}
     for k in set(s) & set(f):
         assert s[k] == f[k]
+
+
+def test_minhash_rejects_bad_band_split(spark, docs_with_dups):
+    with pytest.raises(ValueError, match="divide"):
+        minhash_near_duplicates(docs_with_dups, num_hashes=32, bands=64)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_near_duplicates(docs_with_dups, num_hashes=30, bands=8)
+
+
+def test_embedding_dim_mismatch_fails_fast(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")  # 64-dim vectors
+    with pytest.raises(Exception, match="embedding length"):
+        embedding_near_duplicates(emb, dim=128).collect()

@@ -54,3 +54,29 @@ def test_resize_metadata(spark, media):
         assert max(r["new_width"], r["new_height"]) <= 128
         assert r["new_width"] >= 1 and r["new_height"] >= 1
         assert 0 < r["scale"] <= 1.0
+
+
+def test_frames_partition_payload_exactly(spark, media):
+    """Frames must PARTITION the payload: no trailing bytes dropped."""
+    frames = sample_frames(media, n_frames=4).toPandas()
+    sizes = frames.groupby("media_id")["frame_payload"].apply(
+        lambda s: sum(len(b) for b in s))
+    payloads = {r["media_id"]: len(r["payload"])
+                for r in media.filter(F.col("kind") == "video").collect()}
+    for mid, total in sizes.items():
+        assert total == payloads[mid]
+
+
+def test_resize_rounds_not_truncates(spark):
+    """322px at max_side=256 must come out 256 (truncation gave 255)."""
+    import pyspark.sql.types as T
+    df = spark.createDataFrame(
+        [(1, "image", b"x", 322, 128, None, "png"),
+         (2, "image", b"x", 257, 128, None, "png")],
+        spark.read.schema if False else __import__(
+            "nostr_data_pipeline_spark.operators.multimodal",
+            fromlist=["MEDIA_SCHEMA"]).MEDIA_SCHEMA)
+    out = {r["media_id"]: (r["new_width"], r["new_height"])
+           for r in resize_images(df, max_side=256).collect()}
+    assert out[1] == (256, 102)   # round(128*256/322) = 102
+    assert out[2] == (256, 128)   # round(128*256/257) = 128 (was 127)

@@ -290,3 +290,18 @@ def test_changes_null_tie_not_spurious_update(spark, tmp_path):
     feed = t.changes(spark, v1).collect()
     assert {r["_change_type"] for r in feed} == {"delete"}
     assert len(feed) == 2
+
+
+def test_layout_guard_and_open(spark, tmp_path):
+    """A handle whose num_buckets disagrees with the on-disk table must fail
+    fast (it would probe wrong buckets / merge past rows); open() adopts the
+    persisted layout."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=16)
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, [("r", "p", "n", None, 1, "e1")]))
+    wrong = SnapshotTable(str(tmp_path / "t"), num_buckets=32)
+    with pytest.raises(ValueError, match="num_buckets=16"):
+        wrong.read(spark)
+    opened = SnapshotTable.open(str(tmp_path / "t"))
+    assert opened.num_buckets == 16 and opened.key_cols == ("repo", "path")
+    assert opened.read(spark).count() == 1
