@@ -9,11 +9,15 @@ iceberg.apache.org/spec):
   plus new data files; readers resolve the current version through a single
   ``_VERSION`` pointer file swapped atomically (``os.replace``). A crashed
   writer leaves only unreferenced garbage, never a torn table.
-- **Bucketed layout + merge pruning**: rows are hash-bucketed by the merge key
-  (``pmod(xxhash64(keys), num_buckets)``). A MERGE only reads and rewrites the
-  buckets its source touches; untouched buckets carry forward by reference in
-  the new manifest. At 100 TB this is the difference between rewriting
-  gigabytes and rewriting the table.
+- **Bucketed layout + two-level merge pruning**: rows are hash-bucketed by
+  the merge key (``pmod(xxhash64(keys), num_buckets)``). A MERGE only reads
+  and rewrites the buckets its source touches — and within a bucket, only
+  the FILES whose manifest-recorded key range (``file_stats``, the analogue
+  of Iceberg's data-file lower/upper bounds) intersects the batch's keys;
+  everything else carries forward by reference in the new manifest. Files
+  are key-sorted and split at ``target_file_rows``, so they cover disjoint
+  key ranges and a trickle update rewrites ~one file. At 100 TB this is the
+  difference between rewriting megabytes and rewriting the table.
 - **Exactly-once commit markers**: each manifest embeds a ``commits`` map of
   ``stream_id -> last applied batch_id``. ``foreachBatch`` is at-least-once;
   a replayed batch is detected and skipped before any work happens
@@ -65,12 +69,28 @@ _WIDEN_OK = {
 META_COLS = ("_deleted",)
 
 
+# key-column types whose values survive a JSON round-trip AND whose Python
+# ordering equals Spark's (str: UTF-8 byte order == code-point order; ints
+# exact) — the precondition for recording per-file key-range stats
+_STATS_SAFE_TYPES = {"string", "integer", "long", "short", "byte", "boolean"}
+
+
 class SnapshotTable:
     def __init__(self, path: str, key_cols: tuple[str, ...] = ("repo", "path"),
-                 num_buckets: int = 32):
+                 num_buckets: int = 32, target_file_rows: int | None = None):
+        """``target_file_rows``: when set, every bucket rewrite splits its
+        output into files of at most this many rows (``maxRecordsPerFile``).
+        Because rewrites are ``sortWithinPartitions(*key_cols)``, the split
+        files cover CONTIGUOUS, DISJOINT key ranges — which is what makes
+        file-level merge pruning bite: a trickle update into a bucket of M
+        key-range files rewrites only the intersecting file(s), not the
+        bucket. At 100 TB (multi-GB buckets) this is the difference between
+        rewriting ~a file and rewriting ~a bucket per touched key range.
+        ``None`` keeps one file per bucket per rewrite (small tables)."""
         self.path = path
         self.key_cols = tuple(key_cols)
         self.num_buckets = num_buckets
+        self.target_file_rows = target_file_rows
 
     # ------------------------------------------------------------------ util
     def _version_file(self) -> str:
@@ -95,7 +115,8 @@ class SnapshotTable:
         point reads and merge updates past existing rows (duplicate keys)."""
         m = cls(path)._raw_manifest()
         return cls(path, key_cols=tuple(m["key_cols"]),
-                   num_buckets=int(m["num_buckets"]))
+                   num_buckets=int(m["num_buckets"]),
+                   target_file_rows=m.get("target_file_rows"))
 
     def _raw_manifest(self, version: int | None = None) -> dict[str, Any]:
         if version is None:
@@ -111,6 +132,15 @@ class SnapshotTable:
             raise ValueError(
                 f"table at {self.path} has num_buckets={m['num_buckets']} but "
                 f"this handle was constructed with {self.num_buckets}; use "
+                f"SnapshotTable.open({self.path!r})"
+            )
+        # key_cols disagreements are the same corruption class: a handle
+        # hashing different columns probes the wrong buckets and a merge
+        # would write duplicate keys past the existing rows
+        if m.get("key_cols") not in (None, list(self.key_cols)):
+            raise ValueError(
+                f"table at {self.path} has key_cols={m['key_cols']} but this "
+                f"handle was constructed with {list(self.key_cols)}; use "
                 f"SnapshotTable.open({self.path!r})"
             )
         return m
@@ -163,6 +193,85 @@ class SnapshotTable:
             ] if os.path.isdir(bdir) else []
         return out
 
+    # ------------------------------------------------------ file-range stats
+    def _stats_capable(self, schema: T.StructType) -> bool:
+        return all(
+            schema[k].dataType.typeName() in _STATS_SAFE_TYPES
+            for k in self.key_cols
+        )
+
+    def _write_bucketed(self, df: DataFrame, out_dir: str, n_parts: int) -> None:
+        """The one bucket-rewrite write pattern (merge / retention /
+        materialize / rebucket): hash-repartition on ``_bucket`` (all rows of
+        a bucket land in one task), key-sort within the partition (parquet
+        row-group min/max pruning + exact per-file key ranges), optionally
+        split into ``target_file_rows``-row files — key-sorted splitting
+        yields contiguous DISJOINT key ranges per file, the layout file-level
+        merge pruning needs."""
+        w = (
+            df.repartition(n_parts, F.col("_bucket"))
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode("overwrite")
+        )
+        if self.target_file_rows:
+            w = w.option("maxRecordsPerFile", int(self.target_file_rows))
+        w.partitionBy("_bucket").parquet(out_dir)
+
+    def _collect_file_stats(self, spark: SparkSession, out_dir: str,
+                            data_rel: str,
+                            schema: T.StructType) -> dict[str, Any]:
+        """Exact per-file key-range stats for a just-written bucket output:
+        one narrow job over the new files reading ONLY the key columns
+        (column pruning keeps this a metadata-sized scan), grouped by
+        ``_metadata.file_path`` with ``min/max(struct(*key_cols))`` — struct
+        ordering is lexicographic by field, so the bounds are exact TUPLE
+        bounds, not per-column approximations. Iceberg records the same
+        bounds in its manifests (iceberg.apache.org/spec: data-file
+        lower_bounds/upper_bounds); here they drive merge/point-read file
+        pruning. Returns {} when a key type isn't stats-safe (non-JSON-safe
+        or ordering-divergent) — pruning then degrades to bucket granularity,
+        never to wrong answers."""
+        if not self._stats_capable(schema):
+            return {}
+        # an all-rows-filtered rewrite writes no parquet at all — nothing to scan
+        if not any(
+            fn.endswith(".parquet")
+            for root, _dirs, fns in os.walk(out_dir) for fn in fns
+        ):
+            return {}
+        kstruct = F.struct(*[F.col(k) for k in self.key_cols])
+        rows = (
+            spark.read.parquet(out_dir)
+            .select(F.col("_metadata.file_path").alias("_fp"), kstruct.alias("_k"))
+            .groupBy("_fp")
+            .agg(F.min("_k").alias("_mn"), F.max("_k").alias("_mx"),
+                 F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        out: dict[str, Any] = {}
+        marker = data_rel + "/"
+        for r in rows:
+            idx = r["_fp"].rfind(marker)
+            if idx < 0:
+                continue
+            mn, mx = list(r["_mn"]), list(r["_mx"])
+            if any(v is None for v in mn + mx):
+                continue  # null key values: file stays unprunable
+            out[r["_fp"][idx:]] = {"min": mn, "max": mx, "rows": r["_n"]}
+        return out
+
+    def _merged_file_stats(self, m: dict[str, Any], new_buckets: dict,
+                           new_stats: dict[str, Any]) -> dict[str, Any]:
+        """Carry forward stats of still-referenced files, add the new files',
+        drop entries for files no manifest bucket references anymore."""
+        referenced = {f for fs in new_buckets.values() for f in fs}
+        merged = {**m.get("file_stats", {}), **new_stats}
+        return {f: s for f, s in merged.items() if f in referenced}
+
+    @staticmethod
+    def _key_in_ranges(key: tuple, st: dict[str, Any]) -> bool:
+        return tuple(st["min"]) <= key <= tuple(st["max"])
+
     # ---------------------------------------------------------------- create
     def create(self, schema: T.StructType) -> None:
         """Create an empty table at version 1. Schema must include key cols;
@@ -179,8 +288,10 @@ class SnapshotTable:
             "key_cols": list(self.key_cols),
             "num_buckets": self.num_buckets,
             "buckets": {},          # bucket id (str) -> [relative file paths]
+            "file_stats": {},       # relpath -> {"min": [...], "max": [...], "rows": n}
             "commits": {},          # stream_id -> last applied batch_id
             "evolved": {},          # col -> {"type": t, "add_seq": s} (virtual cols)
+            "target_file_rows": self.target_file_rows,
             "metrics": {},
             "created_at": time.time(),
         }
@@ -197,18 +308,34 @@ class SnapshotTable:
     def read(self, spark: SparkSession, include_tombstones: bool = False,
              with_payload: bool = False, payload_col: str = "extra_json",
              seq_col: str = "last_seq", version: int | None = None,
-             buckets: list[int] | None = None) -> DataFrame:
+             buckets: list[int] | None = None,
+             files: list[str] | None = None) -> DataFrame:
         """Read a snapshot. ``version`` time-travels to an older manifest
         (manifests are immutable; ``vacuum`` bounds how far back the data
-        directories still exist — default keeps the newest 2 versions).
-        ``buckets`` restricts the scan to the named buckets' files (the
-        bucket-pruning hook used by read_keys and changes)."""
+        directories still exist — default keeps the newest 2 versions; a
+        version whose data dirs were vacuumed raises a clear error here
+        instead of dying inside the parquet scan). ``buckets`` restricts the
+        scan to the named buckets' files; ``files`` restricts it to an
+        explicit relpath list (the file-pruning hook used by read_keys and
+        changes — the caller must pass files belonging to the manifest)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
-        if buckets is None:
+        if files is not None:
+            pass
+        elif buckets is None:
             files = [f for fs in m["buckets"].values() for f in fs]
         else:
             files = [f for b in buckets for f in m["buckets"].get(str(b), [])]
+        missing = sorted({
+            d for d in {f.split("/", 1)[0] for f in files}
+            if not os.path.isdir(os.path.join(self.path, d))
+        })
+        if missing:
+            raise ValueError(
+                f"version {m['version']} of table {self.path} references "
+                f"vacuumed data dirs {missing}; time-travel is bounded by "
+                f"vacuum(keep_versions)"
+            )
         df = self._read_files(spark, files, schema)
         return self._project(df, m, include_tombstones, with_payload,
                              payload_col, seq_col)
@@ -244,9 +371,9 @@ class SnapshotTable:
                     # (coalesce short-circuits per row in codegen: columnar
                     # read unless physical is null). Replace-mode merges
                     # null the physical on every touched row, so a stale
-                    # non-null physical cannot survive; coalesce-mode
-                    # field-upserts on evolved columns should re-materialize
-                    # (documented in materialize_evolved).
+                    # non-null physical cannot survive; coalesce-mode merges
+                    # drop the mat_seq stamps at commit (see _merge_pinned),
+                    # so a kept-stale physical is never routed.
                     df = df.withColumn(
                         name,
                         F.when(F.col(seq_col) > F.lit(mat_seq), parsed)
@@ -281,14 +408,18 @@ class SnapshotTable:
                   include_tombstones: bool = False, with_payload: bool = False,
                   payload_col: str = "extra_json",
                   seq_col: str = "last_seq") -> DataFrame:
-        """Point lookup: read ONLY the buckets the given keys hash to, then
-        filter to the exact keys. At 100 TB this touches keys/num_buckets of
-        the table instead of all of it; within a bucket, parquet row-group
-        min/max on the key-sorted files prunes further (merge writes files
-        ``sortWithinPartitions(*key_cols)``). ``keys`` is a small driver-side
-        list (a CLI lookup, a dim probe) — the predicate is an OR of
-        per-key conjunctions pushed into the scan. An empty key list
-        returns an empty frame (no scan)."""
+        """Point lookup: read ONLY the files the given keys can live in, then
+        filter to the exact keys. Two pruning levels: (1) bucket — keys hash
+        to buckets with the writer's own JVM hash; (2) file — within those
+        buckets, a file whose manifest key range (``file_stats``) excludes
+        every probe key is skipped (a key lives in exactly one file: sibling
+        files of a bucket hold disjoint key sets by construction of the
+        pruned merge). At 100 TB a point read touches ~one file, not a
+        bucket; within the file, parquet row-group min/max on the key-sorted
+        layout prunes further. ``keys`` is a small driver-side list (a CLI
+        lookup, a dim probe) — the predicate is an OR of per-key conjunctions
+        pushed into the scan. An empty key list returns an empty frame (no
+        scan)."""
         if not keys:
             return self.read(
                 spark, include_tombstones=include_tombstones,
@@ -296,9 +427,19 @@ class SnapshotTable:
                 seq_col=seq_col, buckets=[],
             )
         buckets = self.buckets_for_keys(spark, keys)
+        m = self.manifest()
+        stats = m.get("file_stats", {})
+        key_tuples = [tuple(k) for k in keys]
+        cand = [
+            f
+            for b in buckets
+            for f in m["buckets"].get(str(b), [])
+            if (st := stats.get(f)) is None
+            or any(self._key_in_ranges(kt, st) for kt in key_tuples)
+        ]
         df = self.read(spark, include_tombstones=include_tombstones,
                        with_payload=with_payload, payload_col=payload_col,
-                       seq_col=seq_col, buckets=buckets)
+                       seq_col=seq_col, files=cand)
         pred = None
         for k in keys:
             conj = None
@@ -320,18 +461,23 @@ class SnapshotTable:
         + the new row image (old image for deletes). Net-changes semantics:
         intermediate versions between the two snapshots are collapsed, which
         is exactly what a seq-guarded LWW table can answer from state alone.
-        Implementation is a full-outer key join — but ONLY over buckets whose
-        manifest file lists differ between the two versions: a bucket whose
-        files are byte-identical across versions cannot contain a change
-        (files are immutable; merge rewrites a bucket's file list whenever it
-        touches it), so both sides prune to the manifest diff. Both sides
-        read tombstones so deletes are visible even before any vacuum."""
+        Implementation is a full-outer key join — but ONLY over FILES that
+        differ between the two manifests: a file referenced by both versions
+        is immutable and identical, its rows cannot have changed, and (file
+        key sets being disjoint within a bucket) none of its keys can appear
+        in a differing file of the same version — so shared files drop from
+        BOTH sides of the join. A trickle merge that rewrote one file of a
+        many-file bucket diffs one file, not the bucket. Both sides read
+        tombstones so deletes are visible even before any vacuum."""
         to_version = to_version if to_version is not None else self.current_version()
-        diff = self.changed_buckets(from_version, to_version)
+        old_m = self.manifest(from_version)["buckets"]
+        new_m = self.manifest(to_version)["buckets"]
+        old_all = {f for fs in old_m.values() for f in fs}
+        new_all = {f for fs in new_m.values() for f in fs}
         old = self.read(spark, include_tombstones=True, version=from_version,
-                        buckets=diff)
+                        files=sorted(old_all - new_all))
         new = self.read(spark, include_tombstones=True, version=to_version,
-                        buckets=diff)
+                        files=sorted(new_all - old_all))
         keys = list(self.key_cols)
         o, n = old.alias("o"), new.alias("n")
         cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
@@ -484,14 +630,87 @@ class SnapshotTable:
             if own_cache:
                 src.unpersist()
 
+    def _probe_touched_files(self, spark, src, m, schema):
+        """ONE narrow job answering both pruning questions: which buckets the
+        source touches, and — within them — which FILES the source's keys can
+        intersect. The file-range relation (relpath, bucket, key min/max from
+        the manifest's ``file_stats``) is tiny and broadcast; the source
+        joins it on bucket equality (BroadcastHashJoin) with the tuple-range
+        containment as the join filter, left-outer so bucket membership
+        survives for keys matching no file. The collect is at most
+        (#files + #buckets) rows after the distinct — never data-sized.
+
+        A file with no recorded stats is conservatively touched whenever its
+        bucket is. Sound pruning rests on the within-bucket invariant that
+        sibling files hold DISJOINT key sets: a batch key inside an untouched
+        file's range would have made that file touched, so every batch key is
+        either merged against the file that holds it or is brand new —
+        rewritten output and carried files can never share a key."""
+        stats_map = m.get("file_stats", {})
+        ranges_rows = [
+            (f, int(b), *st["min"], *st["max"])
+            for b, fs in m["buckets"].items()
+            for f in fs
+            if (st := stats_map.get(f)) is not None
+        ]
+        if not ranges_rows:
+            affected = sorted(
+                r[0] for r in src.select("_bucket").distinct().collect()
+            )
+            touched = {
+                f for b in affected for f in m["buckets"].get(str(b), [])
+            }
+            return affected, touched
+
+        kfields = [schema[k] for k in self.key_cols]
+        rschema = T.StructType(
+            [T.StructField("_file", T.StringType()),
+             T.StructField("_fb", T.IntegerType())]
+            + [T.StructField(f"_mn{i}", f.dataType) for i, f in enumerate(kfields)]
+            + [T.StructField(f"_mx{i}", f.dataType) for i, f in enumerate(kfields)]
+        )
+        ranges = spark.createDataFrame(ranges_rows, rschema)
+        skey = F.struct(*[F.col(k) for k in self.key_cols])
+        mn = F.struct(*[F.col(f"_mn{i}").alias(k) for i, k in enumerate(self.key_cols)])
+        mx = F.struct(*[F.col(f"_mx{i}").alias(k) for i, k in enumerate(self.key_cols)])
+        probe = (
+            src.join(
+                F.broadcast(ranges),
+                (F.col("_bucket") == F.col("_fb")) & (skey >= mn) & (skey <= mx),
+                "left_outer",
+            )
+            .select("_bucket", "_file")
+            .distinct()
+            .collect()
+        )
+        affected = sorted({r["_bucket"] for r in probe})
+        touched = {r["_file"] for r in probe if r["_file"] is not None}
+        for b in affected:  # stat-less files: unprunable, always rewritten
+            touched.update(
+                f for f in m["buckets"].get(str(b), []) if f not in stats_map
+            )
+        return affected, touched
+
     def _merge_pinned(self, spark, src, m, schema, seq_col, tie_col,
                       delete_col, stream_id, batch_id, extra_metrics,
                       update_mode) -> dict[str, Any]:
-        affected = sorted(r[0] for r in src.select("_bucket").distinct().collect())
+        affected, touched = self._probe_touched_files(spark, src, m, schema)
         if not affected:
             return {"rows_written": 0, "buckets_rewritten": 0}
 
-        tgt_files = [f for b in affected for f in m["buckets"].get(str(b), [])]
+        # file-level merge pruning: read and rewrite ONLY the files whose key
+        # range intersects the batch; sibling files of the same bucket carry
+        # forward BY REFERENCE in the new manifest, exactly like untouched
+        # buckets. This is the Spark-native analogue of the reference's
+        # index-assisted row update (/root/reference/src/nostr_pipeline/
+        # models.py:41-46 composite PK indexes): a 1-key batch into a
+        # multi-file bucket rewrites one file, not the bucket — the
+        # copy-on-write amplification ceiling drops from bucket size to
+        # target_file_rows.
+        tgt_files = [
+            f for b in affected
+            for f in m["buckets"].get(str(b), []) if f in touched
+        ]
         tgt = self._read_files(spark, tgt_files, schema)
 
         # full outer on keys; seq-guarded winner selection.
@@ -551,35 +770,55 @@ class SnapshotTable:
         new_version = m["version"] + 1
         data_rel = f"data-v{new_version:08d}"
         out_dir = os.path.join(self.path, data_rel)
-        (
-            merged.repartition(len(affected), F.col("_bucket"))
-            # key-sorted files: parquet row-group min/max on (repo, path)
-            # prune point lookups and future merge scans within a bucket —
-            # the winner set being sorted is cheap, the pruning at 100 TB
-            # bucket sizes is not
-            .sortWithinPartitions(*self.key_cols)
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        # key-sorted files (inside _write_bucketed): parquet row-group
+        # min/max on (repo, path) prune point lookups, and the exact per-file
+        # key bounds recorded below drive the NEXT merge's file pruning —
+        # the winner set being sorted is cheap, the pruning at 100 TB bucket
+        # sizes is not
+        self._write_bucketed(merged, out_dir, len(affected))
         metrics = dict(obs.get)
 
+        written = self._list_written_buckets(out_dir, data_rel, affected)
         new_buckets = dict(m["buckets"])
-        new_buckets.update(self._list_written_buckets(out_dir, data_rel, affected))
+        for b in affected:
+            bs = str(b)
+            carried = [f for f in m["buckets"].get(bs, []) if f not in touched]
+            new_buckets[bs] = carried + written[bs]
+        new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
 
         commits = dict(m["commits"])
         if stream_id is not None and batch_id is not None:
             commits[stream_id] = batch_id
         metrics.update(extra_metrics or {})
         metrics["buckets_rewritten"] = len(affected)
+        metrics["files_rewritten"] = len(tgt_files)
+        metrics["files_carried"] = sum(
+            1 for b in affected
+            for f in m["buckets"].get(str(b), []) if f not in touched
+        )
         manifest = {
             **m,
             "version": new_version,
             "buckets": new_buckets,
+            "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
             "commits": commits,
             "metrics": metrics,
             "committed_at": time.time(),
         }
+        # a coalesce-mode merge can keep a target's stale PHYSICAL value for
+        # an evolved column while advancing nothing but seq/payload — rows at
+        # or below mat_seq would then read the stale physical. Drop the
+        # stamps: reads fall back to the always-correct payload projection
+        # until the next materialize_evolved (documented caveat there).
+        evolved = m.get("evolved", {})
+        if update_mode == "coalesce" and any("mat_seq" in s for s in evolved.values()):
+            manifest["evolved"] = {
+                n: {k: v for k, v in s.items() if k != "mat_seq"}
+                for n, s in evolved.items()
+            }
+            metrics["materialization_invalidated"] = sorted(
+                n for n, s in evolved.items() if "mat_seq" in s
+            )
         self._commit(manifest)
         return metrics
 
@@ -637,11 +876,12 @@ class SnapshotTable:
         this runs. Rows merged AFTER compaction — including late ones whose
         last_seq lands at or below mat_seq — carry physical NULL and are
         read via the payload parse (the stamp only routes NON-NULL physical
-        values; see _project). Assumes replace-mode merges for evolved
-        columns (the CDC path; every touched row's physical is nulled):
-        after coalesce-mode field-upserts touching evolved columns,
-        re-materialize before relying on columnar reads. One parallel job,
-        same repartition/partitionBy write pattern as merge."""
+        values; see _project). Replace-mode merges null the physical on
+        every touched row, so the stamp stays valid; a COALESCE-mode merge
+        can keep a stale physical, so _merge_pinned drops the stamps on any
+        coalesce merge while evolved stamps exist (reads fall back to the
+        payload parse — re-run this to get columnar reads back). One
+        parallel job, same repartition/partitionBy write pattern as merge."""
         m = self.manifest()
         evolved = m.get("evolved", {})
         if not evolved:
@@ -672,22 +912,19 @@ class SnapshotTable:
         new_version = m["version"] + 1
         data_rel = f"data-v{new_version:08d}"
         out_dir = os.path.join(self.path, data_rel)
-        (
-            out.repartition(self.num_buckets, F.col("_bucket"))
-            .sortWithinPartitions(*self.key_cols)
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        self._write_bucketed(out, out_dir, self.num_buckets)
         new_buckets = self._list_written_buckets(
             out_dir, data_rel, range(self.num_buckets)
         )
+        new_stats = self._collect_file_stats(spark, out_dir, data_rel, new_schema)
         new_evolved = {
             name: {**spec, "mat_seq": int(hi)} for name, spec in evolved.items()
         }
         self._commit({**m, "version": new_version,
                       "schema": new_schema.jsonValue(),
-                      "buckets": new_buckets, "evolved": new_evolved,
+                      "buckets": new_buckets,
+                      "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
+                      "evolved": new_evolved,
                       "metrics": {"materialize_evolved": sorted(evolved),
                                   "mat_seq": int(hi)}})
         return {"materialized_columns": len(evolved), "mat_seq": int(hi)}
@@ -739,18 +976,14 @@ class SnapshotTable:
             .filter(F.coalesce(~F.expr(condition), F.lit(True)))
             .withColumn("_bucket", self.bucket_expr())
         )
-        (
-            kept.repartition(len(affected), F.col("_bucket"))
-            .sortWithinPartitions(*self.key_cols)
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        self._write_bucketed(kept, out_dir, len(affected))
 
         new_buckets = dict(m["buckets"])
         new_buckets.update(self._list_written_buckets(out_dir, data_rel, affected))
+        new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
         removed_total = int(sum(per_bucket.values()))
         self._commit({**m, "version": new_version, "buckets": new_buckets,
+                      "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
                       "metrics": {"retention_delete": condition,
                                   "rows_deleted": removed_total,
                                   "buckets_rewritten": len(affected)}})
@@ -779,6 +1012,54 @@ class SnapshotTable:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
                 removed += 1
         return removed
+
+    def rebucket(self, spark: SparkSession, num_buckets: int,
+                 target_file_rows: int | None = None) -> dict[str, Any]:
+        """Rewrite the table into a new bucket count (one parallel job; a
+        normal snapshot commit — readers of older versions are unaffected,
+        time-travel still works until vacuum).
+
+        Sizing rule: buckets are the unit of merge-write parallelism and the
+        ceiling of a single task's rewrite volume; target ~1-4 GB of live
+        data per bucket (so a bucket rewrite is one healthy task) and rely on
+        ``target_file_rows`` for the within-bucket rewrite amplification —
+        file pruning caps a trickle merge's I/O at ~file size regardless of
+        bucket size. Grow buckets when live-data-per-bucket crosses that
+        band: at 100 TB live, num_buckets in the tens of thousands. Since
+        rebucketing is a full rewrite, grow in large steps (e.g. 8x), not
+        incrementally. ``target_file_rows``, if given, becomes the table's
+        new file-split setting (persisted)."""
+        m = self.manifest()
+        n = int(num_buckets)
+        if n < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {n}")
+        schema = T.StructType.fromJson(m["schema"])
+        files = [f for fs in m["buckets"].values() for f in fs]
+        df = self._read_files(spark, files, schema)
+        old_n, old_tfr = self.num_buckets, self.target_file_rows
+        self.num_buckets = n
+        if target_file_rows is not None:
+            self.target_file_rows = int(target_file_rows)
+        try:
+            out = df.withColumn("_bucket", self.bucket_expr())
+            new_version = m["version"] + 1
+            data_rel = f"data-v{new_version:08d}"
+            out_dir = os.path.join(self.path, data_rel)
+            self._write_bucketed(out, out_dir, n)
+            new_buckets = self._list_written_buckets(out_dir, data_rel, range(n))
+            new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
+            self._commit({**m, "version": new_version, "num_buckets": n,
+                          "target_file_rows": self.target_file_rows,
+                          "buckets": new_buckets,
+                          "file_stats": self._merged_file_stats(
+                              m, new_buckets, new_stats),
+                          "metrics": {"rebucket": f"{old_n}->{n}"}})
+        except BaseException:
+            # failed rewrite must not leave the handle disagreeing with disk
+            self.num_buckets, self.target_file_rows = old_n, old_tfr
+            raise
+        return {"num_buckets": n, "previous": old_n,
+                "files": sum(len(v) for v in new_buckets.values())}
 
 
 def _parse_type(name: str) -> T.DataType:

@@ -1,0 +1,227 @@
+"""File-level merge pruning (round-3 headline): a merge rewrites only the
+files whose manifest key range intersects the batch's keys; sibling files of
+the same bucket carry forward BY REFERENCE. This is the Spark-native analogue
+of the reference's composite-PK index-assisted updates
+(/root/reference/src/nostr_pipeline/models.py:41-46) and kills the
+copy-on-write bucket-rewrite amplification at 100 TB.
+
+Also covers: target_file_rows key-range file splitting, point-read file
+pruning, file-diff change feeds, the vacuumed-version read guard, rebucket,
+the coalesce-merge materialization-stamp drop, and the key_cols layout guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("last_seq", T.LongType()),
+        T.StructField("last_event_id", T.StringType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(n, seq=1, content="v1"):
+    # zero-padded paths: lexicographic order == numeric order, so the
+    # key-sorted file split yields predictable contiguous ranges
+    return [("r", f"p{i:04d}", f"{content}-{i}", seq, f"e{seq}-{i}") for i in range(n)]
+
+
+def _load(spark, tmp_path, n=40, target_file_rows=10, num_buckets=1):
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=num_buckets,
+                      target_file_rows=target_file_rows)
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, _rows(n)))
+    return t
+
+
+def test_bulk_load_splits_into_disjoint_range_files(spark, tmp_path):
+    t = _load(spark, tmp_path)
+    m = t.manifest()
+    files = m["buckets"]["0"]
+    assert len(files) == 4  # 40 rows / 10 per file
+    stats = m["file_stats"]
+    assert set(stats) == set(files)
+    # key-sorted split => contiguous, disjoint ranges covering all keys
+    ranges = sorted((tuple(stats[f]["min"]), tuple(stats[f]["max"])) for f in files)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2
+    assert sum(stats[f]["rows"] for f in files) == 40
+
+
+def test_one_key_merge_rewrites_exactly_one_file(spark, tmp_path):
+    """The verdict's done-criterion: a 1-key merge into a multi-file bucket
+    rewrites exactly one file and carries the rest by reference."""
+    t = _load(spark, tmp_path)
+    before = list(t.manifest()["buckets"]["0"])
+    res = t.merge(spark, _df(spark, [("r", "p0015", "updated", 2, "e2")]))
+    assert res["files_rewritten"] == 1
+    assert res["files_carried"] == 3
+    after = t.manifest()["buckets"]["0"]
+    assert len(after) == 4
+    # the three files whose range excludes p0015 are the SAME relpaths
+    assert len(set(before) & set(after)) == 3
+    # correctness: the update landed, nothing else changed, no dup keys
+    got = {r["path"]: r for r in t.read(spark).collect()}
+    assert len(got) == 40
+    assert got["p0015"]["content"] == "updated" and got["p0015"]["last_seq"] == 2
+    assert got["p0014"]["content"] == "v1-14"
+
+
+def test_new_key_outside_all_ranges_appends_file(spark, tmp_path):
+    t = _load(spark, tmp_path)
+    res = t.merge(spark, _df(spark, [("r", "zzz-new", "new", 2, "e2")]))
+    assert res["files_rewritten"] == 0
+    assert res["files_carried"] == 4
+    assert len(t.manifest()["buckets"]["0"]) == 5
+    assert t.read(spark).count() == 41
+
+
+def test_pruned_merge_matches_unpruned_semantics(spark, tmp_path):
+    """Interleaved updates/deletes/new keys over many merges: the pruned
+    multi-file table and an unpruned single-file-per-bucket table converge to
+    identical contents (pruning is an I/O optimization, never a semantics
+    change)."""
+    pruned = SnapshotTable(str(tmp_path / "a"), num_buckets=2, target_file_rows=7)
+    plain = SnapshotTable(str(tmp_path / "b"), num_buckets=2)
+    for t in (pruned, plain):
+        t.create(SCHEMA)
+        t.merge(spark, _df(spark, _rows(30)))
+    batches = [
+        _df(spark, [("r", "p0003", "u1", 5, "x1"), ("r", "p0029", "u2", 5, "x2")]),
+        _df(spark, [("r", "p0003", "stale", 2, "x0"),        # loses seq guard
+                    ("r", "newkey", "n1", 6, "x3")]),
+        _df(spark, [("r", "p0010", None, 7, "x4")]).withColumn(
+            "_deleted", F.lit(True)),
+        _df(spark, [("r", "p0010", "resurrect", 3, "x5")]),  # loses vs tombstone
+        _df(spark, [("r", f"p{i:04d}", "wave", 9, f"w{i}") for i in range(0, 30, 5)]),
+    ]
+    for b in batches:
+        pruned.merge(spark, b)
+        plain.merge(spark, b)
+    pa = pruned.read(spark).orderBy("repo", "path").collect()
+    pb = plain.read(spark).orderBy("repo", "path").collect()
+    assert pa == pb
+    # no duplicate keys across sibling files (the disjointness invariant)
+    dup = (pruned.read(spark, include_tombstones=True)
+           .groupBy("repo", "path").count().filter("count > 1").count())
+    assert dup == 0
+
+
+def test_point_read_touches_one_file(spark, tmp_path):
+    t = _load(spark, tmp_path)
+    df = t.read_keys(spark, [("r", "p0025")])
+    assert len(df.inputFiles()) == 1
+    assert df.count() == 1 and df.first()["content"] == "v1-25"
+    # a key matching no file range scans nothing
+    miss = t.read_keys(spark, [("r", "zzz")])
+    assert len(miss.inputFiles()) == 0 and miss.count() == 0
+
+
+def test_changes_prunes_to_differing_files(spark, tmp_path):
+    t = _load(spark, tmp_path)
+    v1 = t.current_version()
+    t.merge(spark, _df(spark, [("r", "p0015", "updated", 2, "e2")]))
+    v2 = t.current_version()
+    feed = t.changes(spark, v1, v2)
+    rows = feed.collect()
+    assert len(rows) == 1
+    assert rows[0]["_change_type"] == "update" and rows[0]["path"] == "p0015"
+    # both sides of the diff read only the one differing file each
+    assert len(feed.inputFiles()) == 2
+
+
+def test_read_of_vacuumed_version_raises_clearly(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=2)
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, _rows(8)))
+    v_old = t.current_version()
+    # full rewrite so the old data dir becomes unreferenced, then vacuum it
+    t.delete_where(spark, "last_seq >= 0")
+    t.merge(spark, _df(spark, _rows(8, seq=2, content="v2")))
+    t.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(spark, version=v_old)
+    assert t.read(spark).count() == 8  # current version unaffected
+
+
+def test_rebucket_grows_layout(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=2)
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, _rows(30)))
+    res = t.rebucket(spark, 8, target_file_rows=5)
+    assert res["num_buckets"] == 8 and res["previous"] == 2
+    # a fresh handle adopts the new layout; a stale one fails fast
+    opened = SnapshotTable.open(t.path)
+    assert opened.num_buckets == 8 and opened.target_file_rows == 5
+    with pytest.raises(ValueError, match="num_buckets=8"):
+        SnapshotTable(t.path, num_buckets=2).manifest()
+    # data survives and merges keep working (file pruning intact)
+    assert opened.read(spark).count() == 30
+    opened.merge(spark, _df(spark, [("r", "p0001", "u", 5, "z")]))
+    got = opened.read_keys(spark, [("r", "p0001")]).first()
+    assert got["content"] == "u"
+
+
+def test_coalesce_merge_drops_materialization_stamp(spark, tmp_path):
+    """A coalesce-mode field-upsert can keep a stale PHYSICAL value for an
+    evolved column (the source's physical is null, the payload carries the
+    new value, and the winner's seq lands at or below mat_seq). The merge
+    must drop the mat_seq stamps so reads fall back to the payload parse."""
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("extra_json", T.StringType()),
+            T.StructField("last_seq", T.LongType()),
+            T.StructField("last_event_id", T.StringType()),
+        ]
+    )
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=2)
+    t.create(schema)
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema)
+
+    t.merge(spark, df([("r", "k", '{"stars": "5"}', 50, "e1"),
+                       ("r", "other", '{"stars": "9"}', 200, "e2")]))
+    t.evolve_column("stars", "int", add_seq=1)
+    t.materialize_evolved(spark)  # mat_seq = 200; k's physical stars = 5
+    assert all("mat_seq" in s for s in t.manifest()["evolved"].values())
+
+    # coalesce upsert of k at seq 90 (<= mat_seq): physical column absent
+    # from the source -> conformed null -> coalesce keeps stale physical 5;
+    # the payload says 7 and must win on read
+    res = t.merge(spark, df([("r", "k", '{"stars": "7"}', 90, "e3")]),
+                  update_mode="coalesce")
+    assert res.get("materialization_invalidated") == ["stars"]
+    assert not any("mat_seq" in s for s in t.manifest()["evolved"].values())
+    got = {r["path"]: r["stars"] for r in t.read(spark).collect()}
+    assert got["k"] == 7 and got["other"] == 9
+    # re-materializing restores columnar reads with the fresh values
+    t.materialize_evolved(spark)
+    got2 = {r["path"]: r["stars"] for r in t.read(spark).collect()}
+    assert got2["k"] == 7 and got2["other"] == 9
+
+
+def test_key_cols_layout_guard(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4,
+                      key_cols=("repo", "path"))
+    t.create(SCHEMA)
+    wrong = SnapshotTable(str(tmp_path / "t"), num_buckets=4,
+                          key_cols=("path", "repo"))
+    with pytest.raises(ValueError, match="key_cols"):
+        wrong.manifest()
+    assert SnapshotTable.open(t.path).key_cols == ("repo", "path")
