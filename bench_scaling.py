@@ -114,7 +114,17 @@ def main() -> None:
     tmp = keep_dir or tempfile.mkdtemp(prefix="scalelog-")
     os.makedirs(tmp, exist_ok=True)
     try:
-        spec = LogSpec(n_events=events, n_repos=max(100, events // 2000),
+        # key cardinality: the north rule fixes 10^10 EVENTS over a repo
+        # table — live keys are orders of magnitude fewer than events (a
+        # 10^10-event log over even 10^8 keys is 100 events/key). The
+        # default models that 100:1 ratio (n_repos*50 paths = events/200
+        # keys); SPARK_GRAFT_SCALE_REPOS overrides for sensitivity runs.
+        # The winner-set write + broadcast build are ∝ live keys and are the
+        # one serial (non-scaling) phase — the ratio decides how much of the
+        # wall they occupy (see BENCH.md phase breakdown).
+        n_repos = int(os.environ.get("SPARK_GRAFT_SCALE_REPOS",
+                                     max(100, events // 10000)))
+        spec = LogSpec(n_events=events, n_repos=n_repos,
                        paths_per_repo=50, n_files=max(64, 4 * cores * n_hi),
                        seed=42)
         log_dir = os.path.join(tmp, f"log-{events}")

@@ -61,13 +61,22 @@ def resolve_lww(
     broadcast vs shuffle from that count. ``None`` opts out (force
     broadcast, the caller vouches for cardinality).
 
-    ``stats``: optional dict the caller owns. When provided, the winner set
-    is ``persist()``ed so the guard count and the join-back share one
-    aggregation job, and the dict receives ``n_keys``, ``lww_mode`` and
-    ``winners`` (the persisted DataFrame — the CALLER must unpersist it
-    once the result has been consumed). Without ``stats`` nothing is
-    cached: the winner aggregation runs once for the count and once inside
-    the join — still only narrow (key, seq) rows, never the payload."""
+    ``stats``: optional dict the caller owns. When provided, the dict
+    receives ``n_keys``, ``lww_mode`` and ``winners`` (the persisted winner
+    DataFrame — the CALLER should unpersist it once the result has been
+    consumed; the engine's replayer does). With or without ``stats`` the
+    winner set is persisted MEMORY_ONLY so the guard count and the join-back
+    share ONE aggregation job (the count doubles as the cache
+    materialization). Without ``stats`` nobody owns the unpersist: the
+    block is LRU-evictable (never pinned to disk), so it costs at most
+    memory pressure, not a leak — long-lived sessions issuing many guarded
+    resolves can reclaim eagerly with ``spark.catalog.clearCache()``.
+
+    NOTE the guard makes the call EAGER (the count runs a job at
+    plan-construction time) for non-streaming inputs; pass
+    ``max_broadcast_keys=None`` to stay fully lazy when the caller vouches
+    for winner cardinality."""
+    from pyspark.storagelevel import StorageLevel
     payload = [c for c in df.columns if c not in key_cols]
     if mode in ("maxseq", "maxseq_shuffle"):
         winners = df.groupBy(*key_cols).agg(F.max(seq_col).alias("_max_seq"))
@@ -79,8 +88,7 @@ def resolve_lww(
         # streaming plan keeps the forced broadcast: the caller owns
         # cardinality there.
         if mode == "maxseq" and max_broadcast_keys is not None and not df.isStreaming:
-            if stats is not None:
-                winners = winners.persist()
+            winners = winners.persist(StorageLevel.MEMORY_ONLY)
             n_keys = winners.count()
             if n_keys > max_broadcast_keys:
                 mode = "maxseq_shuffle"

@@ -20,6 +20,8 @@ overflow — seeds are mixed via multi-argument xxhash64, never a*x+b.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,9 +31,31 @@ from pyspark.storagelevel import StorageLevel
 # each and are cached MEMORY_ONLY: evictable under pressure (recomputed, not
 # spilled — a disk-persisted block would outlive the query and leak for the
 # session), and these lazy plan-builders cannot unpersist for the caller.
-# Long-lived services doing many dedup calls can clear them wholesale with
-# spark.catalog.clearCache().
 _CACHE_LEVEL = StorageLevel.MEMORY_ONLY
+
+# every intermediate these builders persist is registered here so long-lived
+# sessions can release them once the returned pairs have been consumed —
+# narrower than spark.catalog.clearCache(), which would also evict the
+# caller's own cached frames
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist(_CACHE_LEVEL)
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every intermediate the dedup builders cached so far (call
+    after materializing the returned pairs). Returns the count released.
+    Safe to call at any time: a released cache only costs recomputation if
+    its plan is re-executed."""
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+        n += 1
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +133,7 @@ def minhash_near_duplicates(
     # verify-join sides); without materialization each re-tokenizes the
     # corpus — measured 3x the operator's wall at sf0.1. See _CACHE_LEVEL
     # note; at cluster scale persist to a temp table instead.
-    base = base.persist(_CACHE_LEVEL)
+    base = _persist(base)
     # Signature via explode + k primitive min-aggregates: every buffer is a
     # long, so this stays a whole-stage-codegen HashAggregate with map-side
     # combine. (The one-liner array_min(transform(...)) x k alternative in
@@ -188,9 +212,17 @@ def ngram_jaccard_pairs(
         "_id",
         shingles_of_tokens(F.col("_toks"), shingle_n).alias("_sh"),
         F.concat_ws(" ", F.slice(F.col("_toks"), 1, band_tokens)).alias("_blk"),
-    ).persist(_CACHE_LEVEL)  # both self-join sides read it; see _CACHE_LEVEL note
+    )
+    base = _persist(base)  # both self-join sides read it; see _CACHE_LEVEL note
     if max_rows is not None and base.count() > max_rows:
         base.unpersist()
+        warnings.warn(
+            f"ngram_jaccard_pairs: input exceeds max_rows={max_rows}; "
+            "falling back to approximate MinHash-LSH blocking (same output "
+            "shape, approximate candidate recall). Pass max_rows=None to "
+            "force exact prefix blocking regardless of size.",
+            RuntimeWarning, stacklevel=2,
+        )
         return minhash_near_duplicates(
             df, id_col=id_col, text_col=text_col,
             threshold=threshold, shingle_n=shingle_n,
@@ -280,7 +312,7 @@ def simhash_near_duplicates(
     iff one 16-bit chunk matches exactly (pigeonhole for hamming<=3)."""
     # the fingerprint aggregation (token explode + 64 primitive sums) would
     # run once per self-join side; materialize it once (see _CACHE_LEVEL note)
-    base = simhash_fingerprint(df, id_col, text_col).persist(_CACHE_LEVEL)
+    base = _persist(simhash_fingerprint(df, id_col, text_col))
     banded = base.select(
         "_id", "chunk0", "chunk1", "chunk2", "chunk3",
         F.posexplode(F.array("chunk0", "chunk1", "chunk2", "chunk3")).alias("_band", "_bh"),
@@ -359,7 +391,8 @@ def embedding_near_duplicates(
     )
     base = df.select(
         F.col(id_col).alias("_id"), v.alias("_v"), bkt.alias("_bkt"),
-    ).persist(_CACHE_LEVEL)  # n_planes dot products/row, both join sides read it
+    )
+    base = _persist(base)  # n_planes dot products/row, both join sides read it
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
         r, (F.col("l._bkt") == F.col("r._bkt")) & (F.col("l._id") < F.col("r._id"))

@@ -39,26 +39,64 @@ def route_batch(batch: DataFrame, routes: dict[str, tuple],
     mid-loop before the checkpoint committed) overwrites its own dir instead
     of appending duplicates. Readers of the route dir see a ``batch_id``
     partition column (free lineage). ``None`` keeps plain append (ad hoc
-    batch use outside a stream)."""
+    batch use outside a stream).
+
+    The two modes are EXCLUSIVE per sink dir: flat appended files mixed with
+    ``batch_id=`` partition dirs produce a layout partition discovery cannot
+    read — the first write into a dir laid out the other way raises.
+
+    Counters ride the write itself via ``observe()`` (one pass per route, no
+    post-write re-scan). A single count accumulator per route is cheap even
+    interpreted; wide per-row aggregations are where observe() hurts (see
+    replay_batch's rows_seen note)."""
+    import uuid
+
+    from pyspark.sql import Observation
+
     batch = batch.persist()
     counts: dict[str, int] = {}
     try:
         for name, spec in routes.items():
             pred, out_dir = spec[0], spec[1]
             proj = spec[2] if len(spec) > 2 else None
+            _check_sink_layout(out_dir, partitioned=batch_id is not None)
             routed = batch.filter(pred)
             if proj:
                 routed = routed.select(*proj)
+            obs = Observation(f"route-{name}-{uuid.uuid4().hex[:8]}")
+            routed = routed.observe(obs, F.count(F.lit(1)).alias("n"))
             if batch_id is None:
                 routed.write.mode("append").parquet(out_dir)
             else:
                 routed.write.mode("overwrite").parquet(
                     os.path.join(out_dir, f"batch_id={batch_id}")
                 )
-            counts[name] = routed.count()
+            counts[name] = obs.get["n"]
     finally:
         batch.unpersist()
     return counts
+
+
+def _check_sink_layout(out_dir: str, partitioned: bool) -> None:
+    """Reject mixing RouterSink's ``batch_id=`` partition layout with ad hoc
+    flat appends in one sink dir (ADVICE: the mixed layout is unreadable)."""
+    if not os.path.isdir(out_dir):
+        return
+    entries = [e for e in os.listdir(out_dir) if not e.startswith(("_", "."))]
+    has_parts = any(e.startswith("batch_id=") for e in entries)
+    has_flat = any(e.endswith(".parquet") for e in entries)
+    if partitioned and has_flat:
+        raise ValueError(
+            f"sink dir {out_dir} already holds flat parquet files (ad hoc "
+            "route_batch mode); streaming batch_id-partitioned writes into "
+            "it would produce a mixed, unreadable layout — use a fresh dir"
+        )
+    if not partitioned and has_parts:
+        raise ValueError(
+            f"sink dir {out_dir} already holds batch_id= partition dirs "
+            "(RouterSink mode); flat ad hoc appends into it would produce a "
+            "mixed, unreadable layout — use a fresh dir"
+        )
 
 
 class RouterSink:

@@ -80,3 +80,58 @@ def test_resize_rounds_not_truncates(spark):
            for r in resize_images(df, max_side=256).collect()}
     assert out[1] == (256, 102)   # round(128*256/322) = 102
     assert out[2] == (256, 128)   # round(128*256/257) = 128 (was 127)
+
+
+def test_feature_values_match_independent_replica(spark):
+    """Round-3 verdict #3: value-level expectation, not kernel-vs-itself.
+    A pure numpy/hashlib replica of the fake_feature spec (written here
+    independently of operators/multimodal.py) computes the exact expected
+    vectors for synthetic_media(n=64, seed=42); the Spark mapInPandas output
+    must equal them bitwise (float32), and the whole feature matrix must
+    hash to the committed fixture digest — so a silent kernel change (or a
+    batching/ordering bug in the Arrow plumbing) fails loudly."""
+    import hashlib
+
+    import numpy as np
+
+    def replica_payloads(n=64, seed=42):
+        rng = np.random.default_rng(seed)
+        kinds = ["image", "audio", "video"]
+        out = []
+        for i in range(n):
+            kind = kinds[i % 3]
+            size = int(rng.integers(256, 4096))
+            payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            # consume the same metadata draws synthetic_media makes
+            if kind == "image":
+                rng.integers(16, 512)
+                rng.integers(16, 512)
+            else:
+                rng.integers(1000, 60000)
+            out.append(payload)
+        return out
+
+    def replica_feature(payload, d=64):
+        h = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(h[:8], "big")
+        hist = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256)
+        base = hist[:d] if d <= 256 else np.pad(hist, (0, d - 256))
+        mix = np.random.default_rng(seed).standard_normal(d) * 0.01
+        v = base.astype(np.float64) / max(len(payload), 1) + mix
+        return (v / max(np.linalg.norm(v), 1e-12)).astype(np.float32)
+
+    expected = [replica_feature(p) for p in replica_payloads()]
+    blob = b"".join(f.tobytes() for f in expected)
+    # committed fixture digest (computed from the replica above, 2026-08-17)
+    assert hashlib.sha256(blob).hexdigest() == (
+        "85abd0d9d35f3d13fede8f16d8abdb3d2cf4d84a67f582cbc8c6db0822bbda27"
+    )
+
+    got = {
+        r["media_id"]: np.asarray(r["feature"], dtype=np.float32)
+        for r in extract_features(synthetic_media(spark, n=64, seed=42),
+                                  dim=64).collect()
+    }
+    assert len(got) == 64
+    for i, exp in enumerate(expected):
+        assert np.array_equal(got[i], exp), f"media_id {i} feature mismatch"
