@@ -95,6 +95,23 @@ def main() -> None:
         n_delivered = spark.read.parquet(log_dir).count()
         events_per_sec = n_delivered / replay_sec
         timings["cdc_replay"] = round(replay_sec, 3)
+
+        # --- streaming path (the mode the north rule names): the same log
+        # tailed as a file stream through foreachBatch -> LWW -> MERGE with
+        # checkpointing, in micro-batches (maxFilesPerTrigger) -------------
+        from nostr_data_pipeline_spark.streaming.replayer import StreamingReplayer
+
+        stream_table = SnapshotTable(os.path.join(tmp, "stbl"), num_buckets=32)
+        rep = StreamingReplayer(
+            stream_table, log_dir, os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=8, collect_lineage=False,
+        )
+        t0 = time.perf_counter()
+        q = rep.start(spark, available_now=True)
+        q.awaitTermination()
+        stream_sec = time.perf_counter() - t0
+        timings["cdc_stream"] = round(stream_sec, 3)
+        stream_events_per_sec = n_delivered / stream_sec
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -108,6 +125,7 @@ def main() -> None:
         "cpus": cpus,
         "cdc_events_delivered": n_delivered,
         "cdc_events_per_sec": round(events_per_sec, 1),
+        "stream_events_per_sec": round(stream_events_per_sec, 1),
         "cdc_rows_applied": result.rows_applied,
     }
     print(json.dumps(out))

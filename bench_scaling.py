@@ -78,6 +78,59 @@ spark.stop()
 """
 
 
+SCAN_WORKER = r"""
+import json, sys, time
+n_exec = int(sys.argv[1]); cores = int(sys.argv[2]); log_dir = sys.argv[3]
+total_cores = n_exec * cores
+from nostr_data_pipeline_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(
+    f"scan-{n_exec}x{cores}",
+    shuffle_partitions=max(8, total_cores),
+    master=f"local-cluster[{n_exec},{cores},12288]",
+    extra_conf={
+        "spark.driver.memory": "8g",
+        "spark.executor.memory": "10g",
+        "spark.executor.extraJavaOptions":
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores}",
+    },
+)
+from nostr_data_pipeline_spark.cdc.replayer import LOG_SCHEMA
+df = spark.read.schema(LOG_SCHEMA).parquet(log_dir)
+aggs = [F.max(c).alias(f"m_{c}") for c in df.columns]
+df.limit(20000).agg(*aggs).collect()  # warm-up: executors, codegen, page cache
+t0 = time.perf_counter()
+df.agg(*aggs).collect()  # full-width decode of every column, trivial agg
+dt = time.perf_counter() - t0
+print(json.dumps({"executors": n_exec, "cores": cores, "sec": round(dt, 2)}))
+spark.stop()
+"""
+
+
+def run_scan_control(n_lo: int, n_hi: int, cores: int, log_dir: str) -> dict:
+    """Same-window host-ceiling control: an embarrassingly parallel
+    full-width scan of the SAME files at both cluster sizes — zero serial
+    stages, so its N->4N ratio is the upper bound any job reading these
+    files can measure on this VM in this window."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, PYTHONPATH=repo)
+    out = {}
+    for n in (n_lo, n_hi):
+        proc = subprocess.run(
+            [sys.executable, "-c", SCAN_WORKER, str(n), str(cores), log_dir],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"scan control failed:\n{proc.stderr[-1500:]}")
+        out[n] = json.loads(lines[-1])
+    eff = out[n_lo]["sec"] / ((n_hi / n_lo) * out[n_hi]["sec"])
+    return {"sec_lo": out[n_lo]["sec"], "sec_hi": out[n_hi]["sec"],
+            "efficiency": round(eff, 3)}
+
+
 def run_at(n_exec: int, cores: int, log_dir: str, delivered: int) -> dict:
     out_dir = tempfile.mkdtemp(prefix=f"scale{n_exec}x{cores}-")
     try:
@@ -167,14 +220,24 @@ def main() -> None:
             hi["trial_secs"] = [r["sec"] for r in hi_runs]
         factor = n_hi / n_lo
         eff = hi["events_per_sec"] / (factor * lo["events_per_sec"])
-        print(json.dumps({
+        out = {
             "metric": "replay->upsert scaling efficiency "
                       "(same input, N vs 4N executors, local-cluster)",
             "events_delivered": delivered,
             "pairs": [lo, hi],
             "executor_factor": factor,
             "scaling_efficiency": round(eff, 3),
-        }))
+        }
+        # SPARK_GRAFT_SCALE_CONTROL=1: calibrate the window with the bare
+        # wide-scan host-ceiling control and report the engine/bound ratio
+        if os.environ.get("SPARK_GRAFT_SCALE_CONTROL") == "1":
+            ctl = run_scan_control(n_lo, n_hi, cores, log_dir)
+            out["scan_control"] = ctl
+            if ctl["efficiency"] > 0:
+                out["efficiency_vs_scan_bound"] = round(
+                    eff / ctl["efficiency"], 3
+                )
+        print(json.dumps(out))
     finally:
         if not keep_dir:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -121,7 +121,22 @@ def cmd_file(spark, args) -> None:
 def cmd_vacuum(spark, args) -> None:
     t = _table(args)
     removed = t.vacuum(keep_versions=args.keep)
-    print(json.dumps({"data_dirs_removed": removed}))
+    print(json.dumps({"files_removed": removed}))
+
+
+def cmd_compact(spark, args) -> None:
+    """Maintenance rewrite of multi-file buckets back into fresh key-sorted
+    files (pays back file-level merge pruning's file-count growth)."""
+    t = _table(args)
+    print(json.dumps(t.compact(spark, min_files=args.min_files)))
+
+
+def cmd_rebucket(spark, args) -> None:
+    """Grow (or shrink) the table's bucket count — a full rewrite; see
+    SnapshotTable.rebucket for the sizing rule (~1-4 GB live data/bucket)."""
+    t = _table(args)
+    print(json.dumps(t.rebucket(spark, args.num_buckets,
+                                target_file_rows=args.target_file_rows)))
 
 
 def cmd_retention(spark, args) -> None:
@@ -192,6 +207,12 @@ def main(argv=None) -> int:
     sp.add_argument("--keep", type=int, default=2)
     sp = sub.add_parser("retention"); common(sp)
     sp.add_argument("--where", required=True)
+    sp = sub.add_parser("compact"); common(sp)
+    sp.add_argument("--min-files", type=int, default=2, dest="min_files")
+    sp = sub.add_parser("rebucket"); common(sp)
+    sp.add_argument("--num-buckets", type=int, required=True, dest="num_buckets")
+    sp.add_argument("--target-file-rows", type=int, default=None,
+                    dest="target_file_rows")
     sp = sub.add_parser("lineage"); common(sp)
     sp.add_argument("--limit", type=int, default=20)
     sp = sub.add_parser("changes"); common(sp)
@@ -207,6 +228,7 @@ def main(argv=None) -> int:
         "init-db": cmd_init_db, "replay": cmd_replay, "stream": cmd_stream,
         "stats": cmd_stats, "trending": cmd_trending, "top-repos": cmd_top_repos,
         "file": cmd_file, "vacuum": cmd_vacuum, "retention": cmd_retention,
+        "compact": cmd_compact, "rebucket": cmd_rebucket,
         "lineage": cmd_lineage, "changes": cmd_changes,
     }
     handlers[args.cmd](spark, args)

@@ -230,8 +230,15 @@ class SnapshotTable:
         lower_bounds/upper_bounds); here they drive merge/point-read file
         pruning. Returns {} when a key type isn't stats-safe (non-JSON-safe
         or ordering-divergent) — pruning then degrades to bucket granularity,
-        never to wrong answers."""
-        if not self._stats_capable(schema):
+        never to wrong answers.
+
+        Stats are recorded only when ``target_file_rows`` is set: without
+        file splitting each bucket rewrite produces ONE file whose range is
+        the whole bucket — ranges that never prune anything — so the
+        collection job would be pure per-commit overhead on the ingest hot
+        path. Setting ``target_file_rows`` is the switch that enables the
+        fine-grained layout AND its bookkeeping together."""
+        if not self.target_file_rows or not self._stats_capable(schema):
             return {}
         # an all-rows-filtered rewrite writes no parquet at all — nothing to scan
         if not any(
@@ -240,8 +247,11 @@ class SnapshotTable:
         ):
             return {}
         kstruct = F.struct(*[F.col(k) for k in self.key_cols])
+        key_schema = T.StructType([schema[k] for k in self.key_cols])
         rows = (
-            spark.read.parquet(out_dir)
+            # explicit key-only schema: no inference footer pass, and the
+            # scan itself reads just the key columns
+            spark.read.schema(key_schema).parquet(out_dir)
             .select(F.col("_metadata.file_path").alias("_fp"), kstruct.alias("_k"))
             .groupBy("_fp")
             .agg(F.min("_k").alias("_mn"), F.max("_k").alias("_mx"),
@@ -326,15 +336,16 @@ class SnapshotTable:
             files = [f for fs in m["buckets"].values() for f in fs]
         else:
             files = [f for b in buckets for f in m["buckets"].get(str(b), [])]
-        missing = sorted({
-            d for d in {f.split("/", 1)[0] for f in files}
-            if not os.path.isdir(os.path.join(self.path, d))
-        })
+        # vacuum is file-granular, so check the files themselves (driver-side
+        # stat of the already-pruned read set; a clear error instead of a
+        # mid-scan PATH_NOT_FOUND)
+        missing = [f for f in files
+                   if not os.path.isfile(os.path.join(self.path, f))]
         if missing:
             raise ValueError(
                 f"version {m['version']} of table {self.path} references "
-                f"vacuumed data dirs {missing}; time-travel is bounded by "
-                f"vacuum(keep_versions)"
+                f"{len(missing)} vacuumed data file(s) (e.g. {missing[0]}); "
+                f"time-travel is bounded by vacuum(keep_versions)"
             )
         df = self._read_files(spark, files, schema)
         return self._project(df, m, include_tombstones, with_payload,
@@ -646,6 +657,11 @@ class SnapshotTable:
         file's range would have made that file touched, so every batch key is
         either merged against the file that holds it or is brand new —
         rewritten output and carried files can never share a key."""
+        # bulk-load fast path: an EMPTY table has no files to prune and no
+        # buckets to carry — the written output itself tells us which buckets
+        # got rows (zero probe jobs on the first, biggest merge)
+        if not any(m["buckets"].values()):
+            return list(range(self.num_buckets)), set()
         stats_map = m.get("file_stats", {})
         ranges_rows = [
             (f, int(b), *st["min"], *st["max"])
@@ -776,7 +792,9 @@ class SnapshotTable:
         # the winner set being sorted is cheap, the pruning at 100 TB bucket
         # sizes is not
         self._write_bucketed(merged, out_dir, len(affected))
-        metrics = dict(obs.get)
+        # sum() over an empty merge (bulk-load fast path with an empty
+        # source) observes NULL counters — normalize to 0
+        metrics = {k: (0 if v is None else v) for k, v in dict(obs.get).items()}
 
         written = self._list_written_buckets(out_dir, data_rel, affected)
         new_buckets = dict(m["buckets"])
@@ -994,24 +1012,88 @@ class SnapshotTable:
         return self.delete_where(spark, "_deleted")
 
     def vacuum(self, keep_versions: int = 2) -> int:
-        """Delete data directories not referenced by the newest
-        ``keep_versions`` manifests. Returns count removed."""
+        """Delete data FILES not referenced by the newest ``keep_versions``
+        manifests (file-granular: with file-level merge pruning, a carried
+        file keeps its old data dir alive indefinitely — dir-granular
+        reclamation would leak every dead sibling in that dir forever under
+        trickle workloads). Empty bucket/data dirs are removed after their
+        files. Returns the number of files removed."""
         cur = self.current_version()
-        keep = set()
+        keep: set[str] = set()
         for v in range(max(1, cur - keep_versions + 1), cur + 1):
             try:
                 mf = self.manifest(v)
             except FileNotFoundError:
                 continue
             for fs in mf["buckets"].values():
-                for f in fs:
-                    keep.add(f.split("/", 1)[0])
+                keep.update(fs)
         removed = 0
-        for entry in os.listdir(self.path):
-            if entry.startswith("data-v") and entry not in keep:
-                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
-                removed += 1
+        for entry in sorted(os.listdir(self.path)):
+            if not entry.startswith("data-v"):
+                continue
+            droot = os.path.join(self.path, entry)
+            for root, _dirs, fns in os.walk(droot):
+                for fn in fns:
+                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    if fn.endswith(".parquet") and rel not in keep:
+                        os.unlink(os.path.join(root, fn))
+                        removed += 1
+            # bottom-up: a dir with no parquet left sheds its write remnants
+            # (_SUCCESS, .crc) and is removed; dirs holding carried files stay
+            for root, dirs, fns in os.walk(droot, topdown=False):
+                if not any(fn.endswith(".parquet") for fn in fns):
+                    for fn in fns:
+                        try:
+                            os.unlink(os.path.join(root, fn))
+                        except OSError:
+                            pass
+                    if not dirs or not any(
+                        os.path.exists(os.path.join(root, d)) for d in dirs
+                    ):
+                        try:
+                            os.rmdir(root)
+                        except OSError:
+                            pass
         return removed
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> dict[str, Any]:
+        """Maintenance rewrite of every bucket holding >= ``min_files``
+        files back into fresh key-sorted ``target_file_rows``-split files.
+        File-level merge pruning trades write amplification for file-count
+        growth (each trickle merge can add a file); compaction pays that
+        debt back in one parallel job, off the ingest path — the LSM
+        analogue: merges are level-0 appends, compact() is the level merge.
+        Point-read/merge pruning quality is restored too (fresh files have
+        tight disjoint key ranges). No-op commit-free when nothing
+        qualifies."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        affected = sorted(
+            int(b) for b, fs in m["buckets"].items() if len(fs) >= min_files
+        )
+        if not affected:
+            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+        files = [f for b in affected for f in m["buckets"][str(b)]]
+        df = self._read_files(spark, files, schema).withColumn(
+            "_bucket", self.bucket_expr()
+        )
+        new_version = m["version"] + 1
+        data_rel = f"data-v{new_version:08d}"
+        out_dir = os.path.join(self.path, data_rel)
+        self._write_bucketed(df, out_dir, len(affected))
+        written = self._list_written_buckets(out_dir, data_rel, affected)
+        new_buckets = dict(m["buckets"])
+        new_buckets.update(written)
+        new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
+        files_after = sum(len(written[str(b)]) for b in affected)
+        self._commit({**m, "version": new_version, "buckets": new_buckets,
+                      "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
+                      "metrics": {"compact": True,
+                                  "buckets_compacted": len(affected),
+                                  "files_before": len(files),
+                                  "files_after": files_after}})
+        return {"buckets_compacted": len(affected),
+                "files_before": len(files), "files_after": files_after}
 
     def rebucket(self, spark: SparkSession, num_buckets: int,
                  target_file_rows: int | None = None) -> dict[str, Any]:

@@ -61,4 +61,11 @@ def test_cli_end_to_end(env):
     assert "rows_deleted" in ret and "buckets_rewritten" in ret
 
     out = run_cli("vacuum", "--table", env["table"])
-    assert "data_dirs_removed" in json.loads(out[-1])
+    assert "files_removed" in json.loads(out[-1])
+
+    out = run_cli("compact", "--table", env["table"])
+    assert "buckets_compacted" in json.loads(out[-1])
+
+    out = run_cli("rebucket", "--table", env["table"], "--num-buckets", "16")
+    reb = json.loads(out[-1])
+    assert reb["num_buckets"] == 16
