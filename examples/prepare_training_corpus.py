@@ -1,0 +1,60 @@
+"""Training-corpus preparation tour: the LLM-data operators composed the way
+a 100 TB pipeline would run them.
+
+  1. quality score + language allowlist (pure column exprs — pushed to scan),
+  2. near-duplicate pairs (n-gram Jaccard here; swap in MinHash-LSH /
+     SimHash / embedding-cosine for corpus scale — same pair shape),
+  3. connected components -> canonical election (keep one doc per cluster),
+  4. token accounting over the kept corpus (whitespace + BPE-style).
+
+Run:  python examples/prepare_training_corpus.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nostr_data_pipeline_spark.operators.analytics import corpus_prepare, load
+from nostr_data_pipeline_spark.operators.dedup import (
+    canonical_docs,
+    minhash_near_duplicates,
+    release_dedup_caches,
+)
+from nostr_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("prepare-corpus", cores="8")
+
+    docs = load(spark, sf_dir, "documents")
+    print(f"input docs: {docs.count()}")
+
+    # one composed, oracle-checked plan: filter -> dedup -> account
+    kept = corpus_prepare(spark, sf_dir)
+    kept.show(5)
+    stats = kept.agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    ).first()
+    print(f"kept: {stats['docs_kept']} docs / {stats['tokens_kept']} tokens "
+          f"(avg quality {stats['avg_quality']})")
+
+    # the corpus-scale pair generator: MinHash-LSH instead of exact Jaccard
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    clusters = canonical_docs(docs, pairs)
+    n_dupes = clusters.filter(~F.col("is_canonical")).count()
+    print(f"minhash-lsh route: {n_dupes} non-canonical near-dupes removed")
+
+    release_dedup_caches()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

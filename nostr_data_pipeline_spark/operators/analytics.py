@@ -646,6 +646,87 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def corpus_prepare(spark, sf_dir):
+    """End-to-end training-corpus preparation in ONE composed plan:
+    per-document quality score (length + stopword-ratio formula, the M5
+    analogue) >= 0.25, language allowlist, then near-duplicate removal —
+    n-gram Jaccard pairs over the SURVIVING docs -> connected components ->
+    keep only each cluster's canonical (min-id) member. Output: the kept
+    corpus with per-doc quality and token counts.
+
+    Scale shape: the quality/lang filter is a pure column expression pushed
+    to the scan (cheapest first — dedup never sees rejected docs); pair
+    generation + the component iteration run on the narrow filtered id set;
+    the final semi-join back is a shuffle on the id key only."""
+    from nostr_data_pipeline_spark.operators.dedup import (
+        canonical_docs, ngram_jaccard_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    quality = F.round(
+        0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * stop_ratio, 4
+    )
+    filt = d.select(
+        "doc_id", "lang", "text", quality.alias("quality"), n_tokens.alias("n_tokens")
+    ).filter((F.col("quality") >= 0.25) & F.col("lang").isin("en", "de", "es", "fr"))
+    pairs = ngram_jaccard_pairs(filt, threshold=0.2)
+    keep = canonical_docs(filt, pairs).filter("is_canonical").select("doc_id")
+    return (
+        filt.join(keep, "doc_id")
+        .select("doc_id", "lang", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_PREPARE_SQL = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, text,
+         round(0.5 * least(n_chars, 500) / 500.0 +
+               0.5 * CASE WHEN nt > 0 THEN ns / CAST(nt AS DOUBLE) ELSE 0.0 END,
+               4) AS quality,
+         nt AS n_tokens
+  FROM (
+    SELECT *, len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t IN ('the','a','of','and'))) AS ns
+    FROM documents
+  )
+), filt AS (
+  SELECT * FROM base
+  WHERE quality >= 0.25 AND lang IN ('en','de','es','fr')
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM filt
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh,
+         array_to_string(tk[1:2], ' ') AS blk
+  FROM t
+), p AS (
+  SELECT l.doc_id AS id1, r.doc_id AS id2
+  FROM s l JOIN s r ON l.blk = r.blk AND l.doc_id < r.doc_id
+  WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.sh, r.sh))), 4) >= 0.2
+), e AS (
+  SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p
+), reach(node, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+)
+SELECT f.doc_id, f.lang, f.quality, f.n_tokens
+FROM filt f LEFT JOIN comp c ON c.node = f.doc_id
+WHERE coalesce(c.component, f.doc_id) = f.doc_id
+ORDER BY f.doc_id
+"""
+
+
 def token_counts(spark, sf_dir):
     """Token counting (whitespace tokenizer) per document."""
     d = load(spark, sf_dir, "documents")
@@ -1020,6 +1101,42 @@ WITH t AS (
 SELECT * FROM p WHERE jaccard >= 0.2 ORDER BY jaccard DESC, id1, id2
 """
 
+# Duplicate clusters over the same n-gram Jaccard pairs: components via a
+# recursive min-label CTE (reach(node) accumulates the ids of every node in
+# the same component because the edge list is symmetrized; min = component
+# id), then canonical election = min id per component. Spark side:
+# dedup.connected_components (iterative min-label propagation) +
+# dedup.canonical_docs.
+DEDUP_CANONICAL_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh,
+         array_to_string(tk[1:2], ' ') AS blk
+  FROM t
+), p AS (
+  SELECT l.doc_id AS id1, r.doc_id AS id2
+  FROM s l JOIN s r ON l.blk = r.blk AND l.doc_id < r.doc_id
+  WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.sh, r.sh))), 4) >= 0.2
+), e AS (
+  SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p
+), reach(node, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
 
 def _emb_dedup_sql() -> str:
     """DuckDB replica of embedding_near_duplicates(threshold=0.5): the
@@ -1139,6 +1256,12 @@ def _q_ngram_jaccard(spark, sf_dir):
     return q_ngram_jaccard(spark, sf_dir)
 
 
+def _q_dedup_canonical(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.dedup import q_dedup_canonical
+
+    return q_dedup_canonical(spark, sf_dir)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     from nostr_data_pipeline_spark.operators.dedup import q_dedup_embedding
 
@@ -1241,6 +1364,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "m2_trend_score": (m2_trend_score, M2_SQL),
     "a2_approx_variants": (a2_approx_variants, None),  # sketch ops: rows-only
     "dedup_ngram_jaccard": (_q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_canonical": (_q_dedup_canonical, DEDUP_CANONICAL_SQL),
+    "corpus_prepare": (corpus_prepare, CORPUS_PREPARE_SQL),
     "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),
     "a15_rollup": (a15_rollup, A15_SQL),
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),

@@ -246,6 +246,113 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters: connected components + canonical-document selection
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, id1_col: str = "id1", id2_col: str = "id2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list by iterative
+    min-label propagation: every node starts labeled with its own id; each
+    round, a node adopts the minimum label among itself and its neighbors;
+    converged when no label changes. Returns ``(node, component)`` where
+    ``component`` is the minimum node id of the component — deterministic.
+
+    Scale notes (100 TB corpus):
+
+    - the iteration state is the narrow ``(node, label)`` relation over only
+      the nodes that appear in some pair — a small fraction of the corpus —
+      and each round is one equi-join plus one min-groupBy on that relation
+      (two shuffles on 16-byte rows);
+    - rounds needed = component diameter. Near-duplicate clusters are
+      star-or-clique-shaped (every member pairs with most others), so the
+      diameter is small and bounded in practice; for adversarial
+      high-diameter graphs the alternating large-star/small-star algorithm
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14) converges in O(log^2 n) rounds at higher per-round cost —
+      this operator trades that for the simpler round that wins on
+      dedup-shaped graphs;
+    - lineage is cut every round with ``localCheckpoint`` (iterative plans
+      otherwise grow unboundedly and re-execute from the source); the
+      convergence check rides on the checkpoint's materialization.
+
+    The loop is driver-coordinated but never moves data to the driver —
+    each round's `changed` count is the only scalar collected.
+    """
+    e = pairs.select(F.col(id1_col).alias("a"), F.col(id2_col).alias("b"))
+    edges = _persist(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates(["a", "b"])
+    )
+    # symmetrized, so every endpoint occurs on the "a" side
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["a"] == labels["node"]).select(
+            edges["b"].alias("node"), F.col("label")
+        )
+        # lazy checkpoint: the convergence count below is the ONE job per
+        # round — it materializes the checkpoint it reads through
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"connected_components: not converged after max_iter={max_iter} "
+            "rounds; labels are an upper bound on the true components "
+            "(some components may still be split). Raise max_iter for "
+            "higher-diameter graphs.",
+            RuntimeWarning, stacklevel=2,
+        )
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonical_docs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    id1_col: str = "id1", id2_col: str = "id2", max_iter: int = 50,
+) -> DataFrame:
+    """Assign every document a duplicate-cluster id and elect one canonical
+    document per cluster (the minimum id — deterministic). Documents in no
+    pair are their own singleton component. Returns
+    ``(id_col, component, is_canonical)``; filtering ``is_canonical`` is the
+    keep-one-per-cluster dedup a training pipeline applies after any pair
+    generator above (MinHash-LSH, SimHash, n-gram Jaccard, embedding).
+
+    The component relation covers only paired nodes, so the join back to the
+    corpus is a shuffle on the narrow id key; the full-width document payload
+    is never part of the iteration.
+    """
+    comp = connected_components(
+        pairs, id1_col=id1_col, id2_col=id2_col, max_iter=max_iter
+    )
+    d = df.select(F.col(id_col))
+    return (
+        d.join(comp, d[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_canonical", F.col("component") == F.col(id_col))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -433,6 +540,16 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Pair generation (exact n-gram Jaccard) -> connected components ->
+    canonical election, end-to-end on the documents table. Fully
+    SQL-oracle-able: the DuckDB replica reuses the n-gram pair CTEs and
+    computes components with a recursive min-label CTE."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return canonical_docs(docs, pairs).orderBy("doc_id")
 
 
 def q_dedup_embedding(spark, sf_dir):

@@ -118,3 +118,52 @@ def test_embedding_dim_mismatch_fails_fast(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")  # 64-dim vectors
     with pytest.raises(Exception, match="embedding length"):
         embedding_near_duplicates(emb, dim=128).collect()
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain (diameter 3 — forces multi-round propagation), a
+    3-clique, and an isolated edge must each collapse to their min id."""
+    from nostr_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # clique
+         (20, 21)],                     # pair
+        "id1 long, id2 long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_canonical_docs_matches_union_find(spark):
+    """End-to-end dedup_canonical on real documents vs an independent
+    union-find over the SAME pair set."""
+    from nostr_data_pipeline_spark.operators.dedup import (
+        canonical_docs, ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    got = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in canonical_docs(docs, pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r["id1"]), find(r["id2"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in docs.select("doc_id").collect():
+        d = r["doc_id"]
+        comp = find(d) if d in parent else d
+        assert got[d] == (comp, comp == d), f"doc {d}: {got[d]} != {comp}"
+    assert any(not c for _, (_, c) in got.items())  # some non-canonical exists

@@ -160,3 +160,11 @@ def test_resolve_lww_composes_into_streaming_plans(spark, tmp_path):
         ("repo", "path"), "seq", "event_id", mode="maxseq",
     )
     assert out.isStreaming  # plan built lazily, no eager count crash
+
+
+def test_corpus_prepare_pushes_lang_filter(spark):
+    """corpus_prepare's language allowlist must reach the parquet scan
+    (cheapest-first: dedup never reads rejected rows); the quality predicate
+    is computed so it can't push — but lang can and must."""
+    plan = plan_of(A.corpus_prepare(spark, SF))
+    assert "In(lang" in plan, plan.split("ReadSchema")[0][-500:]
