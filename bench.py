@@ -41,7 +41,7 @@ def main() -> None:
         "a9_pivot_timeline", "c6_json_extract", "dedup_exact",
         "sim_cosine_topk", "m1_virality_score",
         "dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_lsh_topk",
-        "corpus_prepare",
+        "corpus_prepare", "dedup_incremental",
     ]
     # untimed warm-up: JVM codegen + python workers (not any query's cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000).count()

@@ -1268,6 +1268,12 @@ def _q_dedup_embedding(spark, sf_dir):
     return q_dedup_embedding(spark, sf_dir)
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.dedup import q_dedup_incremental
+
+    return q_dedup_incremental(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1365,6 +1371,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a2_approx_variants": (a2_approx_variants, None),  # sketch ops: rows-only
     "dedup_ngram_jaccard": (_q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_canonical": (_q_dedup_canonical, DEDUP_CANONICAL_SQL),
+    # deterministic but xxhash64-based: rows-only, replica-verified
+    # (tests/test_dedup_index.py)
+    "dedup_incremental": (_q_dedup_incremental, None),
     "corpus_prepare": (corpus_prepare, CORPUS_PREPARE_SQL),
     "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),
     "a15_rollup": (a15_rollup, A15_SQL),

@@ -552,6 +552,32 @@ def q_dedup_canonical(spark, sf_dir):
     return canonical_docs(docs, pairs).orderBy("doc_id")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Dedup-at-ingest contract query: index the even-id half of the
+    documents table in a throwaway MinHashIndex, then check the odd-id half
+    against it (plus within-batch pairs). Deterministic (xxhash64-based;
+    value-verified by the replica in tests/test_dedup_index.py) but not
+    SQL-expressible — DuckDB lacks Spark's xxhash64 — so rows-only in the
+    oracle gate, like dedup_minhash_lsh."""
+    import shutil
+    import tempfile
+
+    from nostr_data_pipeline_spark.operators.dedup_index import MinHashIndex
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="mhidx_")
+    try:
+        idx = MinHashIndex.create(spark, tmp)
+        idx.add(spark, base)
+        # check() localCheckpoints eagerly, so the plan no longer reads the
+        # temp index after return and the cleanup below is safe
+        return idx.check(spark, new, threshold=0.35).orderBy("doc_id", "dup_of")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dedup_embedding(spark, sf_dir):
     return embedding_near_duplicates(_load(spark, sf_dir, "embeddings"), threshold=0.5)
 
