@@ -75,7 +75,10 @@ def resolve_lww(
     NOTE the guard makes the call EAGER (the count runs a job at
     plan-construction time) for non-streaming inputs; pass
     ``max_broadcast_keys=None`` to stay fully lazy when the caller vouches
-    for winner cardinality."""
+    for winner cardinality. A STREAMING input cannot be counted, so with
+    the guard armed it degrades to the shuffle join-back (safe, no
+    broadcast ceiling to trip); ``max_broadcast_keys=None`` restores the
+    forced broadcast there too."""
     from pyspark.storagelevel import StorageLevel
     payload = [c for c in df.columns if c not in key_cols]
     if mode in ("maxseq", "maxseq_shuffle"):
@@ -85,9 +88,13 @@ def resolve_lww(
         # caller resolves per micro-batch inside foreachBatch (bounded
         # batches; the engine's own path, streaming/replayer.py), where the
         # guard applies normally. Composing resolve_lww directly into a
-        # streaming plan keeps the forced broadcast: the caller owns
-        # cardinality there.
-        if mode == "maxseq" and max_broadcast_keys is not None and not df.isStreaming:
+        # streaming plan cannot count, so it takes the SAFE side of the
+        # guard: the shuffle join-back (no broadcast, no cardinality
+        # ceiling to trip). Callers who know the winner set is small opt
+        # back into the broadcast with ``max_broadcast_keys=None``.
+        if mode == "maxseq" and max_broadcast_keys is not None and df.isStreaming:
+            mode = "maxseq_shuffle"
+        if mode == "maxseq" and max_broadcast_keys is not None:
             winners = winners.persist(StorageLevel.MEMORY_ONLY)
             n_keys = winners.count()
             if n_keys > max_broadcast_keys:

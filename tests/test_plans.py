@@ -146,8 +146,9 @@ def test_lww_guard_folds_into_winner_agg(spark, tmp_path):
 
 def test_resolve_lww_composes_into_streaming_plans(spark, tmp_path):
     """The guard count is an eager batch action; on a STREAMING frame
-    resolve_lww must skip it (foreachBatch is where the guard applies) and
-    still build a valid lazy plan."""
+    resolve_lww must skip it (foreachBatch is where the guard applies),
+    still build a valid lazy plan, and take the SAFE side of the guard —
+    the shuffle join-back, not an unguarded forced broadcast."""
     from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log
     from nostr_data_pipeline_spark.cdc.lww import resolve_lww
     from nostr_data_pipeline_spark.cdc.replayer import LOG_SCHEMA
@@ -155,11 +156,18 @@ def test_resolve_lww_composes_into_streaming_plans(spark, tmp_path):
     d = str(tmp_path / "log")
     write_log(d, LogSpec(n_events=200, n_repos=3, paths_per_repo=3, seed=2, n_files=1))
     stream = spark.readStream.schema(LOG_SCHEMA).parquet(d)
-    out = resolve_lww(
-        stream.select("repo", "path", "seq", "event_id", "content"),
-        ("repo", "path"), "seq", "event_id", mode="maxseq",
-    )
+    narrow = stream.select("repo", "path", "seq", "event_id", "content")
+    out = resolve_lww(narrow, ("repo", "path"), "seq", "event_id", mode="maxseq")
     assert out.isStreaming  # plan built lazily, no eager count crash
+    # guard armed (default ceiling) -> no broadcast hint in the unbounded
+    # plan; an OOM-sized winner set can't be forced onto executors (a
+    # streaming plan can't be optimize()d before start, so assert on the
+    # analyzed logical plan where the hint would appear as ResolvedHint)
+    assert "strategy=broadcast" not in out._jdf.queryExecution().analyzed().toString()
+    # explicit vouch (ceiling=None) restores the forced broadcast
+    vouched = resolve_lww(narrow, ("repo", "path"), "seq", "event_id",
+                          mode="maxseq", max_broadcast_keys=None)
+    assert "strategy=broadcast" in vouched._jdf.queryExecution().analyzed().toString()
 
 
 def test_corpus_prepare_pushes_lang_filter(spark):
