@@ -87,11 +87,23 @@ def main() -> None:
         warm_table = SnapshotTable(os.path.join(tmp, "warmtbl"), num_buckets=32)
         replay_log(spark, warm_table, log_dir, collect_lineage=False)
 
-        table = SnapshotTable(os.path.join(tmp, "tbl"), num_buckets=32)
-        t0 = time.perf_counter()
-        result = replay_log(spark, table, log_dir, n_batches=cdc_batches,
-                            collect_lineage=False)
-        replay_sec = time.perf_counter() - t0
+        # Best-of-N trials for the primary metric: this is a shared host and
+        # co-tenant load only ever ADDS time (observed 3x inflation of the
+        # identical replay mid-spike), so the minimum is the least-
+        # contaminated steady-state estimate — same protocol as
+        # bench_scaling.py. Each trial replays into a FRESH table.
+        replay_trials = int(os.environ.get("SPARK_GRAFT_CDC_TRIALS", "2"))
+        replay_sec, result = None, None
+        trial_secs = []
+        for i in range(max(1, replay_trials)):
+            table = SnapshotTable(os.path.join(tmp, f"tbl{i}"), num_buckets=32)
+            t0 = time.perf_counter()
+            res_i = replay_log(spark, table, log_dir, n_batches=cdc_batches,
+                               collect_lineage=False)
+            dt = time.perf_counter() - t0
+            trial_secs.append(round(dt, 3))
+            if replay_sec is None or dt < replay_sec:
+                replay_sec, result = dt, res_i
         # exact delivered count (sample() dup injection is approximate)
         n_delivered = spark.read.parquet(log_dir).count()
         events_per_sec = n_delivered / replay_sec
@@ -126,6 +138,7 @@ def main() -> None:
         "cpus": cpus,
         "cdc_events_delivered": n_delivered,
         "cdc_events_per_sec": round(events_per_sec, 1),
+        "cdc_replay_trial_secs": trial_secs,
         "stream_events_per_sec": round(stream_events_per_sec, 1),
         "cdc_rows_applied": result.rows_applied,
     }
