@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from typing import Any
@@ -276,12 +277,47 @@ class SnapshotTable:
         return out
 
     def _merged_file_stats(self, m: dict[str, Any], new_buckets: dict,
-                           new_stats: dict[str, Any]) -> dict[str, Any]:
+                           new_stats: dict[str, Any],
+                           new_deltas: dict | None = None) -> dict[str, Any]:
         """Carry forward stats of still-referenced files, add the new files',
-        drop entries for files no manifest bucket references anymore."""
+        drop entries for files neither the bucket map nor the delta map of
+        the new manifest references anymore."""
+        if new_deltas is None:
+            new_deltas = self._deltas_of(m)
         referenced = {f for fs in new_buckets.values() for f in fs}
+        referenced.update(f for fs in new_deltas.values() for f in fs)
         merged = {**m.get("file_stats", {}), **new_stats}
         return {f: s for f, s in merged.items() if f in referenced}
+
+    # ---------------------------------------------------- merge-on-read layer
+    @staticmethod
+    def _deltas_of(m: dict[str, Any]) -> dict[str, list[str]]:
+        return m.get("deltas") or {}
+
+    def _resolve_lww_rows(self, df: DataFrame, seq_col: str,
+                          tie_col: str) -> DataFrame:
+        """Collapse base + delta rows of a merge-on-read table to the per-key
+        ``(seq, tie)``-max winner — the read-side half of the MoR contract
+        (same winner rule as the write-side MERGE, so CoW and MoR commits
+        interleave soundly). One hash-partitioned ``max_by(struct)``
+        aggregation per read; the read amplification is proportional to the
+        UNCOMPACTED delta volume, which ``compact()`` folds back to zero —
+        the LSM read/write trade, chosen per merge call."""
+        cols = list(df.columns)
+        payload = [c for c in cols if c not in self.key_cols]
+        win = F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col(seq_col), F.col(tie_col)),
+        ).alias("_w")
+        out = df.groupBy(*self.key_cols).agg(win)
+        return out.select(
+            *[F.col(c) if c in self.key_cols else F.col(f"_w.{c}").alias(c)
+              for c in cols]
+        )
+
+    def _resolution_cols(self, m: dict[str, Any]) -> tuple[str, str]:
+        lww = m.get("delta_lww") or {}
+        return lww.get("seq_col", "last_seq"), lww.get("tie_col", "last_event_id")
 
     @staticmethod
     def _key_in_ranges(key: tuple, st: dict[str, Any]) -> bool:
@@ -303,6 +339,7 @@ class SnapshotTable:
             "key_cols": list(self.key_cols),
             "num_buckets": self.num_buckets,
             "buckets": {},          # bucket id (str) -> [relative file paths]
+            "deltas": {},           # bucket id (str) -> [delta relpaths] (merge-on-read)
             "file_stats": {},       # relpath -> {"min": [...], "max": [...], "rows": n}
             "commits": {},          # stream_id -> last applied batch_id
             "evolved": {},          # col -> {"type": t, "add_seq": s} (virtual cols)
@@ -335,12 +372,17 @@ class SnapshotTable:
         changes — the caller must pass files belonging to the manifest)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
+        deltas = self._deltas_of(m)
         if files is not None:
             pass
         elif buckets is None:
-            files = [f for fs in m["buckets"].values() for f in fs]
+            files = [f for fs in m["buckets"].values() for f in fs] + [
+                f for fs in deltas.values() for f in fs
+            ]
         else:
-            files = [f for b in buckets for f in m["buckets"].get(str(b), [])]
+            files = [f for b in buckets for f in m["buckets"].get(str(b), [])] + [
+                f for b in buckets for f in deltas.get(str(b), [])
+            ]
         # time-travel reads verify their files exist (vacuum is file-granular;
         # a clear error beats a mid-scan PATH_NOT_FOUND). Current-version
         # reads skip the check — vacuum never removes currently-referenced
@@ -356,6 +398,14 @@ class SnapshotTable:
                     f"time-travel is bounded by vacuum(keep_versions)"
                 )
         df = self._read_files(spark, files, schema)
+        # merge-on-read resolution: delta files may carry keys that also live
+        # in base files (or in other deltas) — collapse to the per-key winner
+        # BEFORE projection/tombstone filtering, using the LWW columns the
+        # MoR merges recorded in the manifest. Pure-CoW reads (no delta file
+        # selected) skip this entirely — zero cost on the existing path.
+        if any(f.startswith("delta-v") for f in files):
+            rs, rt = self._resolution_cols(m)
+            df = self._resolve_lww_rows(df, rs, rt)
         return self._project(df, m, include_tombstones, with_payload,
                              payload_col, seq_col)
 
@@ -454,10 +504,11 @@ class SnapshotTable:
         # degrade to bucket granularity for such probes, never crash
         if any(v is None for kt in key_tuples for v in kt):
             stats = {}
+        deltas = self._deltas_of(m)
         cand = [
             f
             for b in buckets
-            for f in m["buckets"].get(str(b), [])
+            for f in m["buckets"].get(str(b), []) + deltas.get(str(b), [])
             if (st := stats.get(f)) is None
             or any(self._key_in_ranges(kt, st) for kt in key_tuples)
         ]
@@ -494,14 +545,28 @@ class SnapshotTable:
         many-file bucket diffs one file, not the bucket. Both sides read
         tombstones so deletes are visible even before any vacuum."""
         to_version = to_version if to_version is not None else self.current_version()
-        old_m = self.manifest(from_version)["buckets"]
-        new_m = self.manifest(to_version)["buckets"]
-        old_all = {f for fs in old_m.values() for f in fs}
-        new_all = {f for fs in new_m.values() for f in fs}
-        old = self.read(spark, include_tombstones=True, version=from_version,
-                        files=sorted(old_all - new_all))
-        new = self.read(spark, include_tombstones=True, version=to_version,
-                        files=sorted(new_all - old_all))
+        old_full = self.manifest(from_version)
+        new_full = self.manifest(to_version)
+        old_m, new_m = old_full["buckets"], new_full["buckets"]
+        od, nd = self._deltas_of(old_full), self._deltas_of(new_full)
+        if od or nd:
+            # merge-on-read versions break the file-diff shortcut (a delta
+            # file shares keys with base files, so differing files no longer
+            # partition the changed keys): fall back to comparing the FULLY
+            # RESOLVED state of only the buckets whose base-or-delta file
+            # lists differ — unchanged buckets still prune.
+            changed = self.changed_buckets(from_version, to_version)
+            old = self.read(spark, include_tombstones=True,
+                            version=from_version, buckets=changed)
+            new = self.read(spark, include_tombstones=True,
+                            version=to_version, buckets=changed)
+        else:
+            old_all = {f for fs in old_m.values() for f in fs}
+            new_all = {f for fs in new_m.values() for f in fs}
+            old = self.read(spark, include_tombstones=True, version=from_version,
+                            files=sorted(old_all - new_all))
+            new = self.read(spark, include_tombstones=True, version=to_version,
+                            files=sorted(new_all - old_all))
         keys = list(self.key_cols)
         o, n = old.alias("o"), new.alias("n")
         cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
@@ -544,11 +609,15 @@ class SnapshotTable:
         buckets that can contain row-level changes (metadata-only commits
         like schema evolution change no bucket)."""
         to_version = to_version if to_version is not None else self.current_version()
-        old_b = self.manifest(from_version)["buckets"]
-        new_b = self.manifest(to_version)["buckets"]
+        old_full = self.manifest(from_version)
+        new_full = self.manifest(to_version)
+        old_b, new_b = old_full["buckets"], new_full["buckets"]
+        od, nd = self._deltas_of(old_full), self._deltas_of(new_full)
         return sorted(
-            int(b) for b in set(old_b) | set(new_b)
+            int(b)
+            for b in set(old_b) | set(new_b) | set(od) | set(nd)
             if old_b.get(b, []) != new_b.get(b, [])
+            or od.get(b, []) != nd.get(b, [])
         )
 
     def evolve_column(self, name: str, spark_type: str, add_seq: int) -> bool:
@@ -593,8 +662,28 @@ class SnapshotTable:
         batch_id: int | None = None,
         extra_metrics: dict[str, Any] | None = None,
         update_mode: str = "replace",
+        merge_mode: str = "cow",
     ) -> dict[str, Any]:
         """MERGE a LWW-resolved source (exactly one row per key) into the table.
+
+        ``merge_mode`` picks the physical strategy per call (Iceberg's
+        ``write.merge.mode`` analogue):
+          - 'cow' (copy-on-write, default): join against the intersecting
+            target files and rewrite them — reads stay scan-only; the write
+            pays the (file-pruned) rewrite.
+          - 'mor' (merge-on-read): append the batch as key-sorted DELTA
+            files, touching ZERO existing data — the write is proportional
+            to the batch alone (no target read, no rewrite, no join), which
+            is what a trickle/CDC ingest needs at 100 TB where even a
+            file-pruned rewrite rewrites target_file_rows-sized files per
+            touched key range. Readers pay a per-key LWW resolve over
+            base+deltas until ``compact()`` folds the deltas back into base
+            files. Requires ``update_mode='replace'`` (field-level coalesce
+            needs the old row at write time) and that ``seq_col``/``tie_col``
+            exist in the table schema; the LWW columns are recorded in the
+            manifest (``delta_lww``) so every reader resolves with the
+            writer's rule. CoW and MoR commits interleave soundly: both
+            define the same per-key (seq, tie)-max winner.
 
         Row-level semantics (equivalent to Iceberg
         ``MERGE ... WHEN MATCHED AND s.seq > t.seq THEN UPDATE/DELETE
@@ -624,6 +713,14 @@ class SnapshotTable:
         files) could otherwise hash rows into buckets the probe never saw,
         writing files the manifest would not register.
         """
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        if merge_mode == "mor" and update_mode != "replace":
+            raise ValueError(
+                "merge_mode='mor' supports update_mode='replace' only: a "
+                "coalesce (non-null-wins field) merge needs the target row "
+                "at write time, which merge-on-read never reads"
+            )
         m = self.manifest()
         if stream_id is not None and batch_id is not None:
             last = m["commits"].get(stream_id)
@@ -641,6 +738,22 @@ class SnapshotTable:
         src = src.select([F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
 
         src = src.withColumn("_bucket", self.bucket_expr())
+        if merge_mode == "mor":
+            # single write pass over the source — no target read, no second
+            # evaluation, so no pinning needed
+            return self._merge_delta(
+                spark, src, m, schema, seq_col, tie_col,
+                stream_id, batch_id, extra_metrics,
+            )
+        if update_mode == "coalesce" and any(self._deltas_of(m).values()):
+            # the field-fold basis would be the base row, not the resolved
+            # winner (which may live in a delta) — silently wrong field
+            # values; fold the deltas first
+            raise ValueError(
+                "coalesce-mode merge on a table with uncompacted deltas "
+                "would fold fields against stale base rows; run compact() "
+                "first"
+            )
         sl = source.storageLevel
         own_cache = not (sl.useMemory or sl.useDisk)
         if own_cache:
@@ -653,6 +766,66 @@ class SnapshotTable:
         finally:
             if own_cache:
                 src.unpersist()
+
+    def _merge_delta(self, spark, src, m, schema, seq_col, tie_col,
+                     stream_id, batch_id, extra_metrics) -> dict[str, Any]:
+        """Merge-on-read commit: write the (already LWW-resolved) batch as
+        key-sorted delta files and register them — see merge() docstring."""
+        for c in (seq_col, tie_col):
+            if c not in schema.fieldNames():
+                raise ValueError(
+                    f"merge_mode='mor' needs LWW column {c!r} in the table "
+                    f"schema (readers resolve base+deltas with it)"
+                )
+        lww = m.get("delta_lww")
+        if lww is not None and (lww["seq_col"] != seq_col
+                                or lww["tie_col"] != tie_col):
+            raise ValueError(
+                f"table {self.path} already has MoR deltas resolved by "
+                f"{lww}; a merge with (seq_col={seq_col!r}, "
+                f"tie_col={tie_col!r}) would change the winner rule mid-table"
+            )
+        new_version = m["version"] + 1
+        data_rel = f"delta-v{new_version:08d}"
+        out_dir = os.path.join(self.path, data_rel)
+        from pyspark.sql import Observation
+        obs = Observation(f"mor-{uuid.uuid4().hex[:8]}")
+        src = src.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+        self._write_bucketed(src, out_dir, self.num_buckets)
+        n_rows = dict(obs.get).get("rows_written") or 0
+        if n_rows == 0:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return {"rows_written": 0, "delta_files": 0}
+        written = self._list_written_buckets(
+            out_dir, data_rel, range(self.num_buckets)
+        )
+        deltas = {b: list(fs) for b, fs in self._deltas_of(m).items()}
+        n_files = 0
+        for b, fs in written.items():
+            if fs:
+                deltas.setdefault(b, []).extend(fs)
+                n_files += len(fs)
+        new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
+        commits = dict(m["commits"])
+        if stream_id is not None and batch_id is not None:
+            commits[stream_id] = batch_id
+        metrics: dict[str, Any] = {
+            "rows_written": int(n_rows), "delta_files": n_files,
+            "merge_mode": "mor",
+        }
+        metrics.update(extra_metrics or {})
+        self._commit({
+            **m,
+            "version": new_version,
+            "deltas": deltas,
+            "delta_lww": {"seq_col": seq_col, "tie_col": tie_col},
+            "file_stats": self._merged_file_stats(
+                m, m["buckets"], new_stats, new_deltas=deltas),
+            "commits": commits,
+            "metrics": metrics,
+            "committed_at": time.time(),
+        })
+        return metrics
 
     def _probe_touched_files(self, spark, src, m, schema):
         """ONE narrow job answering both pruning questions: which buckets the
@@ -960,10 +1133,16 @@ class SnapshotTable:
         new_evolved = {
             name: {**spec, "mat_seq": int(hi)} for name, spec in evolved.items()
         }
+        # the read above already resolved any MoR deltas and this commit
+        # rewrites EVERY bucket from that resolved state — carrying delta
+        # entries forward would re-apply folded rows (and with the widened
+        # physical schema); clear them
         self._commit({**m, "version": new_version,
                       "schema": new_schema.jsonValue(),
                       "buckets": new_buckets,
-                      "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
+                      "deltas": {},
+                      "file_stats": self._merged_file_stats(
+                          m, new_buckets, new_stats, new_deltas={}),
                       "evolved": new_evolved,
                       "metrics": {"materialize_evolved": sorted(evolved),
                                   "mat_seq": int(hi)}})
@@ -991,6 +1170,14 @@ class SnapshotTable:
         virtual evolved columns are a read-time projection and cannot be
         referenced here unless materialize_evolved has made them physical."""
         m = self.manifest()
+        if any(self._deltas_of(m).values()):
+            # retention must evaluate the condition on RESOLVED rows and
+            # purge from one layout (a delta row matching the condition must
+            # not outlive the purge): fold the deltas first — min_files
+            # beyond any real count limits the rewrite to delta-holding
+            # buckets — then delete on the pure-CoW layout below
+            self.compact(spark, min_files=2**62)
+            m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
         all_files = [f for fs in m["buckets"].values() for f in fs]
         if not all_files:
@@ -1049,9 +1236,11 @@ class SnapshotTable:
                 continue
             for fs in mf["buckets"].values():
                 keep.update(fs)
+            for fs in self._deltas_of(mf).values():
+                keep.update(fs)
         removed = 0
         for entry in sorted(os.listdir(self.path)):
-            if not entry.startswith("data-v"):
+            if not entry.startswith(("data-v", "delta-v")):
                 continue
             droot = os.path.join(self.path, entry)
             for root, _dirs, fns in os.walk(droot):
@@ -1099,15 +1288,29 @@ class SnapshotTable:
         qualifies."""
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
+        deltas = self._deltas_of(m)
+        # a bucket qualifies on total (base + delta) file count, and ANY
+        # bucket holding deltas qualifies unconditionally — folding deltas
+        # back into resolved base files is compaction's whole job for a
+        # merge-on-read table (the LSM level merge)
         affected = sorted(
-            int(b) for b, fs in m["buckets"].items() if len(fs) >= min_files
+            int(b)
+            for b in set(m["buckets"]) | set(deltas)
+            if deltas.get(b)
+            or len(m["buckets"].get(b, [])) + len(deltas.get(b, [])) >= min_files
         )
         if not affected:
             return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
-        files = [f for b in affected for f in m["buckets"][str(b)]]
-        df = self._read_files(spark, files, schema).withColumn(
-            "_bucket", self.bucket_expr()
-        )
+        files = [
+            f for b in affected
+            for f in m["buckets"].get(str(b), []) + deltas.get(str(b), [])
+        ]
+        df = self._read_files(spark, files, schema)
+        folding = any(deltas.get(str(b)) for b in affected)
+        if folding:
+            rs, rt = self._resolution_cols(m)
+            df = self._resolve_lww_rows(df, rs, rt)
+        df = df.withColumn("_bucket", self.bucket_expr())
         new_version = m["version"] + 1
         data_rel = f"data-v{new_version:08d}"
         out_dir = os.path.join(self.path, data_rel)
@@ -1115,16 +1318,24 @@ class SnapshotTable:
         written = self._list_written_buckets(out_dir, data_rel, affected)
         new_buckets = dict(m["buckets"])
         new_buckets.update(written)
+        new_deltas = {
+            b: fs for b, fs in deltas.items() if int(b) not in set(affected)
+        }
         new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
         files_after = sum(len(written[str(b)]) for b in affected)
+        n_folded = sum(len(deltas.get(str(b), [])) for b in affected)
         self._commit({**m, "version": new_version, "buckets": new_buckets,
-                      "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
+                      "deltas": new_deltas,
+                      "file_stats": self._merged_file_stats(
+                          m, new_buckets, new_stats, new_deltas=new_deltas),
                       "metrics": {"compact": True,
                                   "buckets_compacted": len(affected),
                                   "files_before": len(files),
-                                  "files_after": files_after}})
+                                  "files_after": files_after,
+                                  "deltas_folded": n_folded}})
         return {"buckets_compacted": len(affected),
-                "files_before": len(files), "files_after": files_after}
+                "files_before": len(files), "files_after": files_after,
+                "deltas_folded": n_folded}
 
     def rebucket(self, spark: SparkSession, num_buckets: int,
                  target_file_rows: int | None = None) -> dict[str, Any]:
@@ -1147,8 +1358,18 @@ class SnapshotTable:
         if n < 1:
             raise ValueError(f"num_buckets must be >= 1, got {n}")
         schema = T.StructType.fromJson(m["schema"])
-        files = [f for fs in m["buckets"].values() for f in fs]
+        deltas = self._deltas_of(m)
+        files = [f for fs in m["buckets"].values() for f in fs] + [
+            f for fs in deltas.values() for f in fs
+        ]
         df = self._read_files(spark, files, schema)
+        if any(deltas.values()):
+            # delta entries are keyed by the OLD bucket ids — carrying them
+            # across a bucket-count change would attach them to the wrong
+            # buckets; fold them into the rewrite instead (resolved here,
+            # cleared in the commit below)
+            rs, rt = self._resolution_cols(m)
+            df = self._resolve_lww_rows(df, rs, rt)
         old_n, old_tfr = self.num_buckets, self.target_file_rows
         self.num_buckets = n
         if target_file_rows is not None:
@@ -1164,8 +1385,9 @@ class SnapshotTable:
             self._commit({**m, "version": new_version, "num_buckets": n,
                           "target_file_rows": self.target_file_rows,
                           "buckets": new_buckets,
+                          "deltas": {},
                           "file_stats": self._merged_file_stats(
-                              m, new_buckets, new_stats),
+                              m, new_buckets, new_stats, new_deltas={}),
                           "metrics": {"rebucket": f"{old_n}->{n}"}})
         except BaseException:
             # failed rewrite must not leave the handle disagreeing with disk
