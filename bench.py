@@ -125,6 +125,44 @@ def main() -> None:
         stream_sec = time.perf_counter() - t0
         timings["cdc_stream"] = round(stream_sec, 3)
         stream_events_per_sec = n_delivered / stream_sec
+
+        # --- trickle merge: the steady-state CDC shape (small batch into a
+        # LARGE existing table), where write strategy dominates. Same batch,
+        # same starting table state, three strategies:
+        #   cow  — file-pruned copy-on-write rewrite (target_file_rows set,
+        #          so only key-range-intersecting files rewrite)
+        #   mor  — delta append (zero target read/rewrite, O(batch) write)
+        #   fold — the deferred cost mor pays later: compact() folding the
+        #          deltas back into base files (off the ingest critical path)
+        from pyspark.sql import functions as F
+
+        trickle_rows = int(os.environ.get("SPARK_GRAFT_TRICKLE_ROWS", "500"))
+        base = SnapshotTable(os.path.join(tmp, "trickle_cow"),
+                             num_buckets=32, target_file_rows=1000)
+        replay_log(spark, base, log_dir, collect_lineage=False)
+        shutil.copytree(base.path, os.path.join(tmp, "trickle_mor"))
+        mor_tbl = SnapshotTable.open(os.path.join(tmp, "trickle_mor"))
+        hi_seq = base.read(spark).agg(F.max("last_seq")).first()[0] or 0
+        batch = (
+            base.read(spark).select("repo", "path").orderBy("repo", "path")
+            .limit(trickle_rows)
+            .withColumn("content", F.concat(F.lit("trickle-"), F.col("path")))
+            .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+            .withColumn("last_seq", F.lit(int(hi_seq) + 1000).cast("long"))
+            .withColumn("last_event_id", F.concat(F.lit("tk-"), F.col("path")))
+            .persist()
+        )
+        batch.count()  # materialize: time the merges, not the batch build
+        t0 = time.perf_counter()
+        base.merge(spark, batch)
+        trickle_cow_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mor_tbl.merge(spark, batch, merge_mode="mor")
+        trickle_mor_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mor_tbl.compact(spark, min_files=2**62)
+        trickle_fold_sec = time.perf_counter() - t0
+        batch.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -141,6 +179,10 @@ def main() -> None:
         "cdc_replay_trial_secs": trial_secs,
         "stream_events_per_sec": round(stream_events_per_sec, 1),
         "cdc_rows_applied": result.rows_applied,
+        "trickle_rows": trickle_rows,
+        "trickle_merge_cow_sec": round(trickle_cow_sec, 3),
+        "trickle_merge_mor_sec": round(trickle_mor_sec, 3),
+        "trickle_mor_fold_sec": round(trickle_fold_sec, 3),
     }
     print(json.dumps(out))
 
