@@ -73,8 +73,11 @@ class ReplayResult:
 
     @property
     def rows_applied(self) -> int:
+        # CoW merges report per-disposition counts; MoR merges report the
+        # delta rows written (disposition is a read-time concept there)
         return sum(
-            b.get("rows_inserted", 0) + b.get("rows_updated", 0) + b.get("rows_deleted", 0)
+            b.get("rows_inserted", 0) + b.get("rows_updated", 0)
+            + b.get("rows_deleted", 0) + b.get("rows_written", 0)
             for b in self.batches
         )
 

@@ -51,7 +51,8 @@ def cmd_replay(spark, args) -> None:
 
     t = _table(args)
     res = replay_log(spark, t, args.log, n_batches=args.batches,
-                     lww_mode=args.lww_mode)
+                     lww_mode=args.lww_mode, merge_mode=args.merge_mode,
+                     compact_every=args.compact_every)
     print(json.dumps({"rows_applied": res.rows_applied,
                       "batches": len(res.batches),
                       "version": t.current_version()}))
@@ -61,7 +62,9 @@ def cmd_stream(spark, args) -> None:
     from nostr_data_pipeline_spark.streaming.replayer import StreamingReplayer
 
     rep = StreamingReplayer(_table(args), args.log, args.checkpoint,
-                            lww_mode=args.lww_mode)
+                            lww_mode=args.lww_mode,
+                            merge_mode=args.merge_mode,
+                            compact_every=args.compact_every)
     metrics = rep.run_to_completion(spark)
     print(json.dumps({"metrics": metrics}))
 
@@ -191,10 +194,18 @@ def main(argv=None) -> int:
     sp.add_argument("--log", required=True)
     sp.add_argument("--batches", type=int, default=1)
     sp.add_argument("--lww-mode", default="maxseq")
+    sp.add_argument("--merge-mode", default="cow", choices=("cow", "mor"),
+                    dest="merge_mode")
+    sp.add_argument("--compact-every", type=int, default=None,
+                    dest="compact_every")
     sp = sub.add_parser("stream"); common(sp)
     sp.add_argument("--log", required=True)
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--lww-mode", default="maxseq")
+    sp.add_argument("--merge-mode", default="cow", choices=("cow", "mor"),
+                    dest="merge_mode")
+    sp.add_argument("--compact-every", type=int, default=None,
+                    dest="compact_every")
     sp = sub.add_parser("stats"); common(sp)
     sp = sub.add_parser("trending"); common(sp)
     sp.add_argument("--limit", type=int, default=10)

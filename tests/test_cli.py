@@ -69,3 +69,14 @@ def test_cli_end_to_end(env):
     out = run_cli("rebucket", "--table", env["table"], "--num-buckets", "16")
     reb = json.loads(out[-1])
     assert reb["num_buckets"] == 16
+
+    # merge-on-read ingest via the CLI: delta replay + periodic folding,
+    # then a final compact leaves no delta backlog
+    mor_tbl = env["table"] + "_mor"
+    out = run_cli("replay", "--table", mor_tbl, "--log", env["log"],
+                  "--batches", "3", "--merge-mode", "mor",
+                  "--compact-every", "2")
+    rep = json.loads(out[-1])
+    assert rep["rows_applied"] > 0 and rep["batches"] == 3
+    out = run_cli("stats", "--table", mor_tbl)
+    assert json.loads(out[-1])["files"] > 0
