@@ -319,6 +319,44 @@ class SnapshotTable:
         lww = m.get("delta_lww") or {}
         return lww.get("seq_col", "last_seq"), lww.get("tie_col", "last_event_id")
 
+    # compressed-delta-bytes ceiling for the broadcast MoR resolve: below it
+    # the delta KEY SET (smaller than the deltas themselves) broadcasts and
+    # the base table never shuffles; above it reads fall back to the full
+    # hash-partitioned resolve. Periodic compact() keeps real tables under it.
+    mor_broadcast_bytes: int = 32 << 20
+
+    def _mor_resolved(self, spark: SparkSession, m: dict[str, Any],
+                      base_files: list[str],
+                      delta_files: list[str]) -> DataFrame:
+        """Resolve a merge-on-read selection WITHOUT shuffling the base:
+        base rows hold one live row per key by CoW invariant, so any base key
+        absent from the delta key set is already the winner — it passes
+        through a map-side broadcast ANTI join untouched (at 100 TB this is
+        the difference between a scan and a full-table shuffle per read).
+        Only touched base rows (broadcast SEMI join) union the deltas into
+        the per-key (seq, tie)-max aggregation. Falls back to the plain
+        full resolve when the deltas exceed ``mor_broadcast_bytes`` on disk
+        (the key-set relation would no longer be broadcast-safe)."""
+        schema = T.StructType.fromJson(m["schema"])
+        base = self._read_files(spark, base_files, schema)
+        delta = self._read_files(spark, delta_files, schema)
+        rs, rt = self._resolution_cols(m)
+        delta_bytes = 0
+        for f in delta_files:
+            try:
+                delta_bytes += os.path.getsize(os.path.join(self.path, f))
+            except OSError:
+                delta_bytes = self.mor_broadcast_bytes + 1  # unknown: no bcast
+                break
+        if delta_bytes > self.mor_broadcast_bytes:
+            return self._resolve_lww_rows(base.unionByName(delta), rs, rt)
+        keys = list(self.key_cols)
+        dkeys = delta.select(*keys).distinct()
+        untouched = base.join(F.broadcast(dkeys), keys, "left_anti")
+        touched = base.join(F.broadcast(dkeys), keys, "left_semi")
+        resolved = self._resolve_lww_rows(touched.unionByName(delta), rs, rt)
+        return untouched.unionByName(resolved)
+
     @staticmethod
     def _key_in_ranges(key: tuple, st: dict[str, Any]) -> bool:
         return tuple(st["min"]) <= key <= tuple(st["max"])
@@ -397,15 +435,18 @@ class SnapshotTable:
                     f"{len(missing)} vacuumed data file(s) (e.g. {missing[0]}); "
                     f"time-travel is bounded by vacuum(keep_versions)"
                 )
-        df = self._read_files(spark, files, schema)
         # merge-on-read resolution: delta files may carry keys that also live
         # in base files (or in other deltas) — collapse to the per-key winner
         # BEFORE projection/tombstone filtering, using the LWW columns the
-        # MoR merges recorded in the manifest. Pure-CoW reads (no delta file
-        # selected) skip this entirely — zero cost on the existing path.
-        if any(f.startswith("delta-v") for f in files):
-            rs, rt = self._resolution_cols(m)
-            df = self._resolve_lww_rows(df, rs, rt)
+        # MoR merges recorded in the manifest (broadcast key-set plan: the
+        # base never shuffles, see _mor_resolved). Pure-CoW reads (no delta
+        # file selected) skip this entirely — zero cost on the existing path.
+        delta_sel = [f for f in files if f.startswith("delta-v")]
+        if delta_sel:
+            base_sel = [f for f in files if not f.startswith("delta-v")]
+            df = self._mor_resolved(spark, m, base_sel, delta_sel)
+        else:
+            df = self._read_files(spark, files, schema)
         return self._project(df, m, include_tombstones, with_payload,
                              payload_col, seq_col)
 

@@ -263,3 +263,21 @@ def test_mor_needs_lww_columns_in_schema(spark, tmp_path):
     src = spark.createDataFrame([("r", "p", "c")], schema)
     with pytest.raises(ValueError, match="last_seq"):
         t.merge(spark, src, merge_mode="mor")
+
+
+def test_mor_read_broadcast_plan_and_shuffle_fallback_agree(spark, tmp_path):
+    """Small deltas: the read plan broadcasts the delta KEY SET (semi/anti
+    joins) so the base table is never hash-repartitioned — the 100 TB read
+    path. The over-threshold full-shuffle fallback must produce the same
+    state."""
+    t = _load(spark, tmp_path)
+    t.merge(spark, _df(spark, BATCH2), merge_mode="mor")
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    expected = _state(spark, t)
+    forced = SnapshotTable.open(t.path)
+    forced.mor_broadcast_bytes = 0  # force the full-resolve fallback
+    fplan = forced.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in fplan
+    assert _state(spark, forced) == expected
