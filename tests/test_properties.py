@@ -67,3 +67,45 @@ def test_lww_modes_agree(spark, spec):
             outs[mode][["repo", "path", "seq", "event_id"]],
             check_dtype=False, obj=mode,
         )
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(spec=spec_strategy,
+       modes=st.lists(st.sampled_from(["cow", "mor"]), min_size=2, max_size=4),
+       compact_after=st.sets(st.integers(min_value=0, max_value=3)))
+def test_random_cow_mor_interleave_matches_oracle(spark, tmp_path_factory,
+                                                  spec, modes, compact_after):
+    """Any interleaving of copy-on-write merges, merge-on-read delta merges,
+    and compaction points over a random log must reach the oracle state —
+    the MoR soundness contract (same per-key winner rule on every path)."""
+    from pyspark.sql import functions as F
+
+    from nostr_data_pipeline_spark.cdc.replayer import (
+        LOG_SCHEMA,
+        TARGET_BASE_SCHEMA,
+        replay_batch,
+    )
+
+    tmp = tmp_path_factory.mktemp("mor_prop")
+    write_log(str(tmp / "log"), spec)
+    expected = reduce_log(make_log_frame(spec))
+    table = SnapshotTable(str(tmp / "tbl"), num_buckets=4)
+    table.create(TARGET_BASE_SCHEMA)
+    log = spark.read.schema(LOG_SCHEMA).parquet(str(tmp / "log"))
+    bounds = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    n = len(modes)
+    step = max(1, (hi - lo + 1) // n)
+    for b, mode in enumerate(modes):
+        lo_b = lo + b * step
+        hi_b = hi if b == n - 1 else lo + (b + 1) * step - 1
+        chunk = log.filter((F.col("seq") >= lo_b) & (F.col("seq") <= hi_b))
+        replay_batch(spark, table, chunk, "prop", b, merge_mode=mode)
+        if b in compact_after:
+            table.compact(spark, min_files=2**62)
+    got = (table.read(spark).toPandas()
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(got) == len(expected)
+    assert list(got["content_sha256"]) == list(expected["content_sha256"])
+    assert list(got["last_event_id"]) == list(expected["last_event_id"])
