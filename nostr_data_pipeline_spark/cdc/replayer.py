@@ -73,11 +73,15 @@ class ReplayResult:
 
     @property
     def rows_applied(self) -> int:
-        # CoW merges report per-disposition counts; MoR merges report the
-        # delta rows written (disposition is a read-time concept there)
+        # CoW merges report per-disposition counts; MoR merges report only
+        # the delta rows written (disposition is a read-time concept there).
+        # CoW metrics ALSO carry rows_written (total rows in rewritten
+        # files, unchanged carried rows included) — counting it for CoW
+        # would double count, so gate on the batch's merge_mode.
         return sum(
             b.get("rows_inserted", 0) + b.get("rows_updated", 0)
-            + b.get("rows_deleted", 0) + b.get("rows_written", 0)
+            + b.get("rows_deleted", 0)
+            + (b.get("rows_written", 0) if b.get("merge_mode") == "mor" else 0)
             for b in self.batches
         )
 

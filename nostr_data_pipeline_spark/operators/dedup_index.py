@@ -140,10 +140,26 @@ class MinHashIndex:
         array-expression form)."""
         k, rows = self.num_hashes, self.num_hashes // self.bands
         seq = F.col(seq_col).cast("long") if seq_col else F.lit(0).cast("long")
-        base = docs.select(
+        src = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            tokenize(F.col(text_col)).alias("_toks"),
+            F.col(text_col).alias("_text"),
             seq.alias("seq"),
+        )
+        # a CDC micro-batch can carry several revisions of one doc (the
+        # exact shape resolve_lww exists for): the signature must hash the
+        # WINNING revision's text alone — min-aggregating shingles across
+        # revisions would persist a signature matching NO revision, stamped
+        # with the winner's seq (silent index corruption). (seq, text)
+        # ordering keeps the pick deterministic under seq ties.
+        src = src.groupBy("doc_id").agg(
+            F.max_by(F.col("_text"), F.struct(F.col("seq"), F.col("_text")))
+            .alias("_text"),
+            F.max("seq").alias("seq"),
+        )
+        base = src.select(
+            "doc_id",
+            tokenize(F.col("_text")).alias("_toks"),
+            "seq",
         ).select(
             "doc_id", "seq",
             shingles_of_tokens(F.col("_toks"), self.shingle_n).alias("_sh"),
@@ -189,7 +205,8 @@ class MinHashIndex:
               id_col: str = "doc_id", text_col: str = "text",
               seq_col: str | None = None, threshold: float = 0.5,
               within_batch: bool = True,
-              max_point_lookup: int = 1024) -> DataFrame:
+              max_point_lookup: int = 1024,
+              sig_frame: DataFrame | None = None) -> DataFrame:
         """Near-duplicate pairs for a new batch: ``(doc_id, dup_of,
         est_jaccard, dup_src)`` where ``dup_src`` is ``'index'`` (``dup_of``
         is an already-indexed doc) or ``'batch'`` (``dup_of`` is a
@@ -202,10 +219,15 @@ class MinHashIndex:
         scan predicate) — that is what makes the bucket-and-file-pruned
         point read possible; past the cap it switches to a full-scan join
         with the (still batch-sized) candidate set broadcast."""
-        new_sig = self._sig_frame(docs, id_col, text_col, seq_col)
+        # ``sig_frame``: a precomputed _sig_frame for these docs (ingest
+        # computes it once for check + add); lifecycle stays with the caller
+        own_sig = sig_frame is None
+        new_sig = self._sig_frame(docs, id_col, text_col, seq_col) \
+            if own_sig else sig_frame
         # the signature frame feeds band rows + up to 3 joins below; without
         # pinning, each consumer re-tokenizes the batch
-        new_sig = new_sig.persist()
+        if own_sig:
+            new_sig = new_sig.persist()
         try:
             new_bands = self._band_rows(new_sig)
             idx_bands = self.bands_table.read(spark, seq_col="seq").select(
@@ -221,6 +243,11 @@ class MinHashIndex:
                 .filter(F.col("doc_id") != F.col("dup_of"))
                 .select("doc_id", "dup_of")
                 .dropDuplicates(["doc_id", "dup_of"])
+                # 2-3 consumers (candidate collect, the jaccard join, the
+                # over-cap fallback semi-join) — without pinning, each one
+                # re-scans the full index band table; the scan is the
+                # dominant I/O of a check at corpus scale
+                .persist()
             )
             cand_ids = [
                 (r["dup_of"],)
@@ -290,17 +317,29 @@ class MinHashIndex:
             # plan depends on: materializes now, severs the lineage
             return out.localCheckpoint(eager=True)
         finally:
-            new_sig.unpersist()
+            # both return paths localCheckpoint eagerly, so nothing in the
+            # returned plan still reads these caches
+            if own_sig:
+                new_sig.unpersist()
+            try:
+                cross.unpersist()
+            except NameError:  # _band_rows raised before cross was built
+                pass
 
     # ----------------------------------------------------------------- add
     def add(self, spark: SparkSession, docs: DataFrame,
             id_col: str = "doc_id", text_col: str = "text",
             seq_col: str | None = None, stream_id: str | None = None,
-            batch_id: int | None = None) -> dict[str, Any]:
+            batch_id: int | None = None,
+            sig_frame: DataFrame | None = None) -> dict[str, Any]:
         """Merge the batch's band rows and signatures into the index.
         Idempotent per (stream_id, batch_id); a doc re-added with a higher
-        ``seq`` (revised text) atomically replaces its rows."""
-        sig = self._sig_frame(docs, id_col, text_col, seq_col).persist()
+        ``seq`` (revised text) atomically replaces its rows. ``sig_frame``:
+        a precomputed _sig_frame for exactly these docs — ingest passes the
+        one it already built so the costliest stage (tokenize + shingle
+        explode + k min-aggs over the batch text) runs once, not twice."""
+        sig = (self._sig_frame(docs, id_col, text_col, seq_col)
+               if sig_frame is None else sig_frame).persist()
         try:
             bm = self.bands_table.merge(
                 spark, self._band_rows(sig), seq_col="seq", tie_col="bandhash",
@@ -334,9 +373,11 @@ class MinHashIndex:
         cluster canonical, and a canonical rejected against the index points
         at the indexed doc.
         """
+        # one signature pass serves BOTH the check and the add of survivors
+        sig = self._sig_frame(docs, id_col, text_col, seq_col).persist()
         pairs = self.check(
             spark, docs, id_col, text_col, seq_col,
-            threshold=threshold, within_batch=True,
+            threshold=threshold, within_batch=True, sig_frame=sig,
         ).persist()
         index_dups = pairs.filter(F.col("dup_src") == "index") \
             .select("doc_id").distinct()
@@ -353,13 +394,15 @@ class MinHashIndex:
         kept = docs.join(
             drop, docs[id_col].cast("long") == drop["doc_id"], "left_anti",
         )
+        kept_sig = sig.join(drop, sig["doc_id"] == drop["doc_id"], "left_anti")
         metrics = self.add(
             spark, kept, id_col, text_col, seq_col,
-            stream_id=stream_id, batch_id=batch_id,
+            stream_id=stream_id, batch_id=batch_id, sig_frame=kept_sig,
         )
         n_in = docs.count()
         n_drop = drop.count()
         pairs.unpersist()
+        sig.unpersist()
         return {
             "kept": kept, "pairs": pairs,
             "metrics": {"docs_in": n_in, "docs_dropped": n_drop,

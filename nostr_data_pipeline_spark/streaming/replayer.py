@@ -106,11 +106,13 @@ class StreamingReplayer:
 
         ``merge_mode='mor'`` makes each micro-batch commit a delta append
         (write cost O(batch), zero target rewrite — the trickle-ingest
-        shape); ``compact_every=k`` folds the deltas into base files after
-        every k-th applied micro-batch, inside the same foreachBatch slot so
-        exactly-once bookkeeping is untouched (a compaction is a normal
-        snapshot commit). Restart-safe: compaction cadence drifting across a
-        restart only changes WHEN folding happens, never the resolved state."""
+        shape); ``compact_every=k`` folds the deltas into base files once the
+        MANIFEST holds >= k uncompacted delta commits, inside the same
+        foreachBatch slot so exactly-once bookkeeping is untouched (a
+        compaction is a normal snapshot commit). The trigger reads persisted
+        state, so restarts and short availableNow runs can never starve
+        folding — cadence drift only changes WHEN folding happens, never the
+        resolved state."""
         if dedup_mode not in ("guard", "watermark"):
             raise ValueError(f"unknown dedup_mode {dedup_mode}")
         self.table = table
@@ -161,9 +163,16 @@ class StreamingReplayer:
             cache_batch=True,
             merge_mode=self.merge_mode,
         )
+        self._applied_batches += 1
         if self.merge_mode == "mor" and self.compact_every:
-            self._applied_batches += 1
-            if self._applied_batches % self.compact_every == 0:
+            # cadence from PERSISTED state, not a process-local counter: the
+            # number of uncompacted MoR commits is the count of distinct
+            # delta-v dirs in the manifest, which survives restarts (short
+            # availableNow runs can never starve folding) and doesn't grow
+            # on skipped-replay batches
+            deltas = self.table._deltas_of(self.table.manifest())
+            pending = {f.split("/", 1)[0] for fs in deltas.values() for f in fs}
+            if len(pending) >= self.compact_every:
                 # fold only delta-holding buckets (min_files beyond any real
                 # count); a separate snapshot commit in the same slot
                 self.table.compact(batch.sparkSession, min_files=2**62)

@@ -786,15 +786,27 @@ class SnapshotTable:
                 spark, src, m, schema, seq_col, tie_col,
                 stream_id, batch_id, extra_metrics,
             )
-        if update_mode == "coalesce" and any(self._deltas_of(m).values()):
-            # the field-fold basis would be the base row, not the resolved
-            # winner (which may live in a delta) — silently wrong field
-            # values; fold the deltas first
-            raise ValueError(
-                "coalesce-mode merge on a table with uncompacted deltas "
-                "would fold fields against stale base rows; run compact() "
-                "first"
-            )
+        if any(self._deltas_of(m).values()):
+            if update_mode == "coalesce":
+                # the field-fold basis would be the base row, not the
+                # resolved winner (which may live in a delta) — silently
+                # wrong field values; fold the deltas first
+                raise ValueError(
+                    "coalesce-mode merge on a table with uncompacted deltas "
+                    "would fold fields against stale base rows; run "
+                    "compact() first"
+                )
+            lww = m.get("delta_lww") or {}
+            if lww and (lww["seq_col"] != seq_col or lww["tie_col"] != tie_col):
+                # a CoW merge whose write-side winner rule disagrees with
+                # the read-side resolve recorded for the live deltas lets a
+                # row the merge 'won' be silently shadowed at read time
+                raise ValueError(
+                    f"table {self.path} has live MoR deltas resolved by "
+                    f"{lww}; a CoW merge with (seq_col={seq_col!r}, "
+                    f"tie_col={tie_col!r}) would apply a different winner "
+                    f"rule — run compact() first or match the columns"
+                )
         sl = source.storageLevel
         own_cache = not (sl.useMemory or sl.useDisk)
         if own_cache:
@@ -1079,11 +1091,22 @@ class SnapshotTable:
     # ------------------------------------------------------- schema evolution
     def add_column(self, name: str, spark_type: str) -> bool:
         """Metadata-only column add. Returns False if column already exists
-        with a compatible type (idempotent replays)."""
+        with a compatible type (idempotent replays); raises on an
+        incompatible existing type — surfacing the conflict at declaration
+        time beats cast-nulls at read time."""
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
         dt = _parse_type(spark_type)
         if name in schema.fieldNames():
+            old = schema[name].dataType.typeName()
+            new = dt.typeName()
+            if (old != new and (old, new) not in _WIDEN_OK
+                    and (new, old) not in _WIDEN_OK):
+                raise ValueError(
+                    f"column {name!r} already exists as {old}; add_column "
+                    f"with incompatible type {new} (use widen_column for "
+                    f"legal widenings)"
+                )
             return False
         fields = [f for f in schema.fields if f.name != "_deleted"]
         fields.append(T.StructField(name, dt, True))
@@ -1155,18 +1178,26 @@ class SnapshotTable:
         fields.append(schema["_deleted"])
         new_schema = T.StructType(fields)
 
-        df = self.read(spark, include_tombstones=True, with_payload=True)
-        hi = df.agg(F.max("last_seq")).first()[0]
-        if hi is None:
-            return {"materialized_columns": 0}
-        out = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in new_schema.fields]
-        ).withColumn("_bucket", self.bucket_expr())
+        # two consumers (the mat_seq aggregation, then the rewrite) — pin
+        # the read so a merge-on-read table resolves base+deltas once, not
+        # twice back-to-back
+        df = self.read(spark, include_tombstones=True, with_payload=True) \
+            .persist()
+        try:
+            hi = df.agg(F.max("last_seq")).first()[0]
+            if hi is None:
+                return {"materialized_columns": 0}
+            out = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name)
+                  for f in new_schema.fields]
+            ).withColumn("_bucket", self.bucket_expr())
 
-        new_version = m["version"] + 1
-        data_rel = f"data-v{new_version:08d}"
-        out_dir = os.path.join(self.path, data_rel)
-        self._write_bucketed(out, out_dir, self.num_buckets)
+            new_version = m["version"] + 1
+            data_rel = f"data-v{new_version:08d}"
+            out_dir = os.path.join(self.path, data_rel)
+            self._write_bucketed(out, out_dir, self.num_buckets)
+        finally:
+            df.unpersist()
         new_buckets = self._list_written_buckets(
             out_dir, data_rel, range(self.num_buckets)
         )
@@ -1182,6 +1213,7 @@ class SnapshotTable:
                       "schema": new_schema.jsonValue(),
                       "buckets": new_buckets,
                       "deltas": {},
+                      "delta_lww": None,
                       "file_stats": self._merged_file_stats(
                           m, new_buckets, new_stats, new_deltas={}),
                       "evolved": new_evolved,
@@ -1367,6 +1399,10 @@ class SnapshotTable:
         n_folded = sum(len(deltas.get(str(b), [])) for b in affected)
         self._commit({**m, "version": new_version, "buckets": new_buckets,
                       "deltas": new_deltas,
+                      # winner rule is scoped to LIVE deltas: once all are
+                      # folded, a later MoR merge may pick fresh LWW columns
+                      "delta_lww": (m.get("delta_lww")
+                                    if any(new_deltas.values()) else None),
                       "file_stats": self._merged_file_stats(
                           m, new_buckets, new_stats, new_deltas=new_deltas),
                       "metrics": {"compact": True,
@@ -1427,6 +1463,7 @@ class SnapshotTable:
                           "target_file_rows": self.target_file_rows,
                           "buckets": new_buckets,
                           "deltas": {},
+                          "delta_lww": None,
                           "file_stats": self._merged_file_stats(
                               m, new_buckets, new_stats, new_deltas={}),
                           "metrics": {"rebucket": f"{old_n}->{n}"}})

@@ -212,3 +212,26 @@ def test_open_restores_params(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="already exists"):
         MinHashIndex.create(spark, str(tmp_path / "idx"))
+
+
+def test_multi_revision_batch_signs_winning_revision_only(spark, tmp_path):
+    """A micro-batch carrying several revisions of one doc must index the
+    signature of the WINNING revision's text alone — never a min-hash over
+    the union of revisions' shingles (which matches no revision)."""
+    from nostr_data_pipeline_spark.operators.dedup_index import MinHashIndex
+
+    both = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", 1),
+         (1, "entirely different replacement text body for revision two", 2)],
+        "doc_id long, text string, seq long",
+    )
+    winner_only = both.filter("seq = 2")
+    a = MinHashIndex.create(spark, str(tmp_path / "a"), num_buckets=2)
+    a.add(spark, both, seq_col="seq")
+    b = MinHashIndex.create(spark, str(tmp_path / "b"), num_buckets=2)
+    b.add(spark, winner_only, seq_col="seq")
+    sig_a = a.sigs_table.read(spark, seq_col="seq").collect()
+    sig_b = b.sigs_table.read(spark, seq_col="seq").collect()
+    assert len(sig_a) == len(sig_b) == 1
+    assert sig_a[0]["sig"] == sig_b[0]["sig"]
+    assert sig_a[0]["seq"] == 2

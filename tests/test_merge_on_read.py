@@ -281,3 +281,21 @@ def test_mor_read_broadcast_plan_and_shuffle_fallback_agree(spark, tmp_path):
     fplan = forced.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in fplan
     assert _state(spark, forced) == expected
+
+
+def test_delta_lww_lifecycle_and_cow_rule_guard(spark, tmp_path):
+    """Folding ALL deltas releases the winner-rule pin (a later MoR merge
+    may choose fresh LWW columns), while LIVE deltas also pin the CoW
+    write-side rule (a mismatched CoW merge would be shadowed at read)."""
+    t = _load(spark, tmp_path)
+    t.merge(spark, _df(spark, BATCH2), merge_mode="mor")
+    # live deltas: CoW with a different winner rule must fail fast
+    with pytest.raises(ValueError, match="winner rule"):
+        t.merge(spark, _df(spark, BATCH3), tie_col="content")
+    t.compact(spark)
+    assert t.manifest().get("delta_lww") is None
+    # all folded: a NEW winner rule is legal again (both paths)
+    t.merge(spark, _df(spark, BATCH3), tie_col="content")
+    t.merge(spark, _df(spark, [("r", "p0008", "x", 9, "e9")]),
+            merge_mode="mor", tie_col="content")
+    assert t.manifest()["delta_lww"]["tie_col"] == "content"

@@ -212,3 +212,23 @@ def test_replay_mor_uncompacted_read_matches_oracle(spark, log_dir, expected,
     replay_log(spark, table, log_dir, n_batches=5, merge_mode="mor")
     assert any(table.manifest().get("deltas", {}).values())
     _check_final_state(spark, table, expected)
+
+
+def test_rows_applied_counts_each_row_once(spark, tmp_path):
+    """rows_applied must not double count CoW merges (whose metrics carry
+    BOTH disposition counts and a rows_written total) and must count MoR
+    delta rows (whose metrics carry only rows_written)."""
+    from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log
+
+    spec = LogSpec(n_events=300, n_repos=3, paths_per_repo=10, seed=3,
+                   dup_rate=0.0, delete_rate=0.0, n_files=2)
+    log_dir = str(tmp_path / "log")
+    write_log(log_dir, spec)
+    exp = reduce_log(make_log_frame(spec))
+    cow = SnapshotTable(str(tmp_path / "cow"), num_buckets=4)
+    res = replay_log(spark, cow, log_dir)
+    # no deletes, empty table: every applied row is an insert, once
+    assert res.rows_applied == len(exp)
+    mor = SnapshotTable(str(tmp_path / "mor"), num_buckets=4)
+    res_m = replay_log(spark, mor, log_dir, merge_mode="mor")
+    assert res_m.rows_applied == len(exp)

@@ -172,3 +172,10 @@ def test_streaming_mor_replay_matches_oracle(spark, tmp_path, expected):
     _final_matches(spark, table, expected)
     # every file-discovery micro-batch went through the MoR slot
     assert rep._applied_batches >= 3
+    # the manifest-state trigger bounds the delta backlog: folding fires
+    # whenever >= compact_every uncompacted delta commits exist, so at
+    # stream end fewer than compact_every remain (restart-safe: the
+    # trigger reads the manifest, not a process-local counter)
+    deltas = table._deltas_of(table.manifest())
+    pending = {f.split("/", 1)[0] for fs in deltas.values() for f in fs}
+    assert len(pending) < 3
