@@ -1275,6 +1275,111 @@ def _q_dedup_incremental(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# merge-on-read upsert contract query
+# ---------------------------------------------------------------------------
+
+MOR_UPSERT_SQL = """
+WITH base AS (
+  SELECT doc_id, text, CAST(1 AS BIGINT) AS last_seq,
+         'e1-' || CAST(doc_id AS VARCHAR) AS last_event_id, FALSE AS _del
+  FROM documents
+), upd AS (
+  SELECT doc_id, 'upd-' || CAST(doc_id AS VARCHAR) AS text,
+         CAST(2 AS BIGINT), 'e2-' || CAST(doc_id AS VARCHAR), FALSE
+  FROM documents WHERE doc_id % 3 = 0
+), newk AS (
+  SELECT doc_id + 1000000 AS doc_id, 'new-' || CAST(doc_id AS VARCHAR),
+         CAST(2 AS BIGINT), 'e2n-' || CAST(doc_id AS VARCHAR), FALSE
+  FROM documents WHERE doc_id % 5 = 0
+), dels AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR), CAST(3 AS BIGINT),
+         'e3-' || CAST(doc_id AS VARCHAR), TRUE
+  FROM documents WHERE doc_id % 7 = 0
+), ev AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM newk UNION ALL SELECT * FROM dels
+), win AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY last_seq DESC, last_event_id DESC) AS rn
+  FROM ev
+)
+SELECT doc_id, text, last_seq, last_event_id
+FROM win WHERE rn = 1 AND NOT _del
+ORDER BY doc_id
+"""
+
+
+def mor_upsert_resolve(spark, sf_dir):
+    """End-to-end snapshot-table upsert through BOTH merge strategies,
+    resolved at read time — the driver-gate contract for the CDC sink
+    itself (every other contract query covers read-side operators): bulk
+    load the documents table copy-on-write, apply updates + new keys as a
+    MERGE-ON-READ delta commit, tombstone-delete a slice as a second delta
+    commit, then read the resolved state. The DuckDB oracle replays the
+    same three batches with a window-function last-writer-wins — per-key
+    (last_seq, last_event_id)-max, tombstones filtered — which is exactly
+    the winner rule both merge paths implement (snapshot_table.py merge /
+    _merge_delta / _mor_resolved). Deterministic: derived purely from
+    doc_id arithmetic on the input table."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+    d = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    base = d.select(
+        "doc_id", "text",
+        F.lit(1).cast("long").alias("last_seq"),
+        F.concat(F.lit("e1-"), sid).alias("last_event_id"),
+    )
+    upd = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(F.lit("upd-"), sid).alias("text"),
+        F.lit(2).cast("long").alias("last_seq"),
+        F.concat(F.lit("e2-"), sid).alias("last_event_id"),
+    )
+    newk = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new-"), sid).alias("text"),
+        F.lit(2).cast("long").alias("last_seq"),
+        F.concat(F.lit("e2n-"), sid).alias("last_event_id"),
+    )
+    dels = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(3).cast("long").alias("last_seq"),
+        F.concat(F.lit("e3-"), sid).alias("last_event_id"),
+        F.lit(True).alias("_deleted"),
+    )
+    tmp = tempfile.mkdtemp(prefix="morq_")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "t"), key_cols=("doc_id",),
+                          num_buckets=8, target_file_rows=2000)
+        t.create(T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("last_seq", T.LongType()),
+            T.StructField("last_event_id", T.StringType()),
+        ]))
+        t.merge(spark, base)                                      # CoW load
+        t.merge(spark, upd.unionByName(newk), merge_mode="mor")   # delta 1
+        t.merge(spark, dels, merge_mode="mor")                    # delta 2
+        out = (
+            t.read(spark)
+            .select("doc_id", "text", "last_seq", "last_event_id")
+            .orderBy("doc_id")
+        )
+        # sever the plan from the temp table before cleanup
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1381,4 +1486,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "s1_set_ops": (s1_set_ops, S1_SETOPS_SQL),
     "w4_running_total": (w4_running_total, W4_SQL),
     "u1_user_stats": (u1_user_stats, U1_SQL),
+    "mor_upsert_resolve": (mor_upsert_resolve, MOR_UPSERT_SQL),
 }
