@@ -299,3 +299,29 @@ def test_delta_lww_lifecycle_and_cow_rule_guard(spark, tmp_path):
     t.merge(spark, _df(spark, [("r", "p0008", "x", 9, "e9")]),
             merge_mode="mor", tie_col="content")
     assert t.manifest()["delta_lww"]["tie_col"] == "content"
+
+
+def test_failed_commit_orphans_are_harmless_and_vacuumable(spark, tmp_path):
+    """Crash between data write and manifest swap (the only non-atomic
+    window: _commit fsyncs the manifest then atomically swaps _VERSION)
+    leaves orphan data files no manifest references. Reads must be
+    unaffected — and vacuum reclaims the orphans."""
+    import os
+
+    t = _load(spark, tmp_path)
+    before = _state(spark, t)
+    v = t.current_version()
+    # simulate the torn write: a data dir AND a delta dir for a version
+    # that never committed
+    for d in ("data-v00000099", "delta-v00000099"):
+        os.makedirs(os.path.join(t.path, d, "_bucket=0"), exist_ok=True)
+        with open(os.path.join(t.path, d, "_bucket=0",
+                               "part-orphan.parquet"), "wb") as fh:
+            fh.write(b"not a real parquet")
+    assert t.current_version() == v
+    assert _state(spark, t) == before  # orphans invisible to reads
+    removed = t.vacuum(keep_versions=2)
+    assert removed >= 2  # both orphan files reclaimed
+    assert not os.path.exists(os.path.join(t.path, "data-v00000099"))
+    assert not os.path.exists(os.path.join(t.path, "delta-v00000099"))
+    assert _state(spark, t) == before
