@@ -157,10 +157,13 @@ class StreamingReplayer:
             lww_mode=self.lww_mode,
             salt=self.salt,
             collect_lineage=self.collect_lineage,
-            # materialize the micro-batch once: its lineage contains the
-            # stateful dedup operator, which must not be re-executed per
-            # consumer (see replay_batch docstring)
-            cache_batch=True,
+            # materialize the micro-batch once ONLY when its lineage contains
+            # the stateful dedup operator (dedup_mode='watermark'), which
+            # must not be re-executed per consumer (see replay_batch
+            # docstring). In 'guard' mode the micro-batch is a deterministic
+            # file slice — re-scanning it per consumer is cheaper than
+            # writing every batch into storage memory first.
+            cache_batch=(self.dedup_mode == "watermark"),
             merge_mode=self.merge_mode,
         )
         self._applied_batches += 1
