@@ -160,7 +160,7 @@ def main() -> None:
         mor_tbl.merge(spark, batch, merge_mode="mor")
         trickle_mor_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
-        mor_tbl.compact(spark, min_files=2**62)
+        mor_tbl.fold_deltas(spark)
         trickle_fold_sec = time.perf_counter() - t0
         batch.unpersist()
     finally:

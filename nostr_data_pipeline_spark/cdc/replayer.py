@@ -307,9 +307,8 @@ def replay_log(
 
 def _maybe_compact(spark, table, merge_mode, compact_every, done, final=True):
     """Fold MoR deltas every ``compact_every`` batches and at replay end
-    (min_files beyond any real count restricts the rewrite to delta-holding
-    buckets — pure periodic folding, not general file compaction)."""
+    (pure periodic folding, not general file compaction)."""
     if merge_mode != "mor" or not compact_every:
         return
     if final or done % compact_every == 0:
-        table.compact(spark, min_files=2**62)
+        table.fold_deltas(spark)

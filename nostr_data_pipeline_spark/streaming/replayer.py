@@ -176,9 +176,8 @@ class StreamingReplayer:
             deltas = self.table._deltas_of(self.table.manifest())
             pending = {f.split("/", 1)[0] for fs in deltas.values() for f in fs}
             if len(pending) >= self.compact_every:
-                # fold only delta-holding buckets (min_files beyond any real
-                # count); a separate snapshot commit in the same slot
-                self.table.compact(batch.sparkSession, min_files=2**62)
+                # a separate snapshot commit in the same foreachBatch slot
+                self.table.fold_deltas(batch.sparkSession)
 
     def start(
         self,

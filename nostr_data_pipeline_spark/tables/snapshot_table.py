@@ -1246,10 +1246,9 @@ class SnapshotTable:
         if any(self._deltas_of(m).values()):
             # retention must evaluate the condition on RESOLVED rows and
             # purge from one layout (a delta row matching the condition must
-            # not outlive the purge): fold the deltas first — min_files
-            # beyond any real count limits the rewrite to delta-holding
-            # buckets — then delete on the pure-CoW layout below
-            self.compact(spark, min_files=2**62)
+            # not outlive the purge): fold the deltas first, then delete on
+            # the pure-CoW layout below
+            self.fold_deltas(spark)
             m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
         all_files = [f for fs in m["buckets"].values() for f in fs]
@@ -1413,6 +1412,15 @@ class SnapshotTable:
         return {"buckets_compacted": len(affected),
                 "files_before": len(files), "files_after": files_after,
                 "deltas_folded": n_folded}
+
+    def fold_deltas(self, spark: SparkSession) -> dict[str, Any]:
+        """Fold merge-on-read deltas back into base files WITHOUT general
+        file compaction: only delta-holding buckets rewrite (a ``min_files``
+        beyond any real file count keeps every purely-CoW bucket out of the
+        job). The periodic-folding primitive used by
+        ``replay_log(compact_every=)``, ``StreamingReplayer``, and
+        ``delete_where``; no-op on a table without deltas."""
+        return self.compact(spark, min_files=2**62)
 
     def rebucket(self, spark: SparkSession, num_buckets: int,
                  target_file_rows: int | None = None) -> dict[str, Any]:

@@ -103,7 +103,7 @@ def test_random_cow_mor_interleave_matches_oracle(spark, tmp_path_factory,
         chunk = log.filter((F.col("seq") >= lo_b) & (F.col("seq") <= hi_b))
         replay_batch(spark, table, chunk, "prop", b, merge_mode=mode)
         if b in compact_after:
-            table.compact(spark, min_files=2**62)
+            table.fold_deltas(spark)
     got = (table.read(spark).toPandas()
            .sort_values(["repo", "path"]).reset_index(drop=True))
     assert len(got) == len(expected)
