@@ -177,22 +177,25 @@ def replay_batch(
     if cache_batch:
         batch = batch.persist()
     try:
-        # rows_seen: the reference's received/deduped counters
-        # (pipeline.py:38-44, T2/A14). Counting first also materializes the
-        # cache in the streaming path (single evaluation of stateful lineage).
-        rows_total = batch.count()
-
-        # Schema changes are rare, tiny rows -> driver-side collect is correct
-        # & cheap (filter pushes into the scan; no dedup shuffle needed —
-        # applying a schema event twice is idempotent). Evolution is
-        # ORDER-INDEPENDENT (virtual columns guarded by add_seq, see
+        # ONE narrow pass yields both per-batch scalars — rows_seen (the
+        # reference's received/deduped counters, pipeline.py:38-44, T2/A14)
+        # and the schema_change rows (rare, tiny -> driver-side is correct;
+        # collect_list skips the NULLs the `when` leaves on data rows).
+        # Previously two jobs (count + filtered collect) — per-micro-batch
+        # fixed cost is the streaming path's dominant overhead. The agg also
+        # materializes the cache in the streaming stateful path (single
+        # evaluation of stateful lineage). Evolution is ORDER-INDEPENDENT
+        # (virtual columns guarded by add_seq, see
         # SnapshotTable.evolve_column), so no seq-epoch splitting is needed:
         # apply the metadata commits, then merge the whole batch at once.
-        sc = (
-            batch.filter(F.col("op") == "schema_change")
-            .select("seq", "sc_col_name", "sc_col_type")
-            .collect()
-        )
+        head = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_list(
+                F.when(F.col("op") == "schema_change",
+                       F.struct("seq", "sc_col_name", "sc_col_type"))
+            ).alias("sc"),
+        ).first()
+        rows_total, sc = head["n"], head["sc"]
         for r in sorted(sc, key=lambda r: r["seq"]):
             table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
         rows_seen = rows_total - len(sc)
