@@ -214,12 +214,21 @@ def replay_batch(
         # bucket pruning, the merge join) — cache it so LWW runs once per batch
         resolved = resolved.persist()
         try:
-            # materializes the cache; winners only, so this count is cheap
-            rows_resolved = resolved.count()
-            # the winner-set cache has served both the guard count and the
-            # join-back; release it before the merge machinery runs
-            if "winners" in lww_stats:
-                lww_stats["winners"].unpersist()
+            if "n_keys" in lww_stats:
+                # the winner aggregation's guard already counted the
+                # resolved rows EXACTLY (one row per winner survives the
+                # join-back), so a second count job per batch is pure
+                # overhead; the merge's first action materializes the
+                # resolved cache instead, and the winner-set cache stays
+                # pinned until then (released in the finally below).
+                rows_resolved = lww_stats["n_keys"]
+            else:
+                # modes without the guard count (agg / salted_window /
+                # shuffle fallback): materialize + count here; winners only,
+                # so this count is cheap
+                rows_resolved = resolved.count()
+                if "winners" in lww_stats:
+                    lww_stats["winners"].unpersist()
             lineage = None
             if collect_lineage:
                 lineage = {
