@@ -50,6 +50,7 @@ def resolve_lww(
     salt: int = 16,
     max_broadcast_keys: int | None = 5_000_000,
     stats: dict | None = None,
+    group_expr: F.Column | None = None,
 ) -> DataFrame:
     """Reduce to exactly one row per key: the (seq, tie)-max winner.
     Preserves all input columns.
@@ -61,16 +62,33 @@ def resolve_lww(
     broadcast vs shuffle from that count. ``None`` opts out (force
     broadcast, the caller vouches for cardinality).
 
-    ``stats``: optional dict the caller owns. When provided, the dict
-    receives ``n_keys``, ``lww_mode`` and ``winners`` (the persisted winner
-    DataFrame — the CALLER should unpersist it once the result has been
-    consumed; the engine's replayer does). With or without ``stats`` the
-    winner set is persisted MEMORY_ONLY so the guard count and the join-back
-    share ONE aggregation job (the count doubles as the cache
-    materialization). Without ``stats`` nobody owns the unpersist: the
-    block is LRU-evictable (never pinned to disk), so it costs at most
-    memory pressure, not a leak — long-lived sessions issuing many guarded
-    resolves can reclaim eagerly with ``spark.catalog.clearCache()``.
+    ``stats``: optional dict the caller owns. When provided, the winner set
+    is persisted MEMORY_ONLY so the guard count and the join-back share ONE
+    aggregation job, and the dict receives:
+
+    - ``n_keys``: winner groups whose key is fully NON-NULL — exactly the
+      rows the join-back yields (the join on key equality is null-unsafe,
+      so a null-key group can never match back; a CDC record without a
+      complete key is unmergeable by definition);
+    - ``null_key_groups``: winner groups dropped for a null key component
+      (callers surface this — rows must never vanish silently);
+    - ``rows_total``: total input rows (sum of per-group counts) — the
+      replayer's ``rows_seen`` without a separate count job;
+    - ``groups`` (only when ``group_expr`` is given): ``{str(g): resolved
+      rows}`` per group value — e.g. per-bucket lineage when the caller
+      passes the table's bucket hash, folded into the SAME guard job;
+    - ``winners``: the persisted winner frame — the CALLER unpersists it
+      once the result is consumed (the engine's replayer does).
+
+    Without ``stats`` the winner set is NOT persisted (nobody would own the
+    unpersist; silent cache growth across a long-lived session is worse
+    than recomputation) — the guarded no-stats path therefore evaluates the
+    winner aggregation twice (once for the guard count, once in the
+    join-back). Hot-path callers pass ``stats``.
+
+    ``group_expr``: optional grouping column evaluated over the WINNER set
+    (key columns are in scope) in the guard job. The collect is at most
+    #groups rows — callers pass low-cardinality expressions (a bucket hash).
 
     NOTE the guard makes the call EAGER (the count runs a job at
     plan-construction time) for non-streaming inputs; pass
@@ -82,7 +100,13 @@ def resolve_lww(
     from pyspark.storagelevel import StorageLevel
     payload = [c for c in df.columns if c not in key_cols]
     if mode in ("maxseq", "maxseq_shuffle"):
-        winners = df.groupBy(*key_cols).agg(F.max(seq_col).alias("_max_seq"))
+        guarded = mode == "maxseq" and max_broadcast_keys is not None
+        aggs = [F.max(seq_col).alias("_max_seq")]
+        if guarded and not df.isStreaming:
+            # per-key row count rides the winner aggregation (tiny extra agg
+            # state) so the guard job below can answer rows_total too
+            aggs.append(F.count(F.lit(1)).alias("_cnt"))
+        winners = df.groupBy(*key_cols).agg(*aggs)
         # The guard count is an EAGER batch action, so it cannot run on an
         # unbounded streaming frame (count() would raise) — a streaming
         # caller resolves per micro-batch inside foreachBatch (bounded
@@ -92,23 +116,46 @@ def resolve_lww(
         # guard: the shuffle join-back (no broadcast, no cardinality
         # ceiling to trip). Callers who know the winner set is small opt
         # back into the broadcast with ``max_broadcast_keys=None``.
-        if mode == "maxseq" and max_broadcast_keys is not None and df.isStreaming:
-            mode = "maxseq_shuffle"
-        if mode == "maxseq" and max_broadcast_keys is not None:
-            winners = winners.persist(StorageLevel.MEMORY_ONLY)
-            n_keys = winners.count()
-            if n_keys > max_broadcast_keys:
+        if guarded and df.isStreaming:
+            mode, guarded = "maxseq_shuffle", False
+        if guarded:
+            if stats is not None:
+                winners = winners.persist(StorageLevel.MEMORY_ONLY)
+            null_key = None
+            for k in key_cols:
+                c = F.col(k).isNull()
+                null_key = c if null_key is None else (null_key | c)
+            gaggs = [
+                F.count(F.lit(1)).alias("_groups"),
+                F.sum("_cnt").alias("_rows"),
+                F.sum(F.when(null_key, 1).otherwise(0)).alias("_null"),
+            ]
+            if group_expr is not None:
+                grows = winners.groupBy(group_expr.alias("_g")).agg(*gaggs).collect()
+            else:
+                grows = [winners.agg(*gaggs).first()]
+            n_groups = sum(r["_groups"] for r in grows)
+            n_null = sum(r["_null"] or 0 for r in grows)
+            if n_groups > max_broadcast_keys:
                 mode = "maxseq_shuffle"
             if stats is not None:
-                stats["n_keys"] = n_keys
+                stats["n_keys"] = n_groups - n_null
+                stats["null_key_groups"] = n_null
+                stats["rows_total"] = int(sum(r["_rows"] or 0 for r in grows))
                 stats["winners"] = winners
+                if group_expr is not None:
+                    stats["groups"] = {
+                        str(r["_g"]): r["_groups"] - (r["_null"] or 0)
+                        for r in grows
+                        if r["_groups"] - (r["_null"] or 0) > 0
+                    }
         if stats is not None:
             stats["lww_mode"] = mode
         joined = F.broadcast(winners) if mode == "maxseq" else winners
         cand = (
             df.join(joined, list(key_cols), "inner")
             .filter(F.col(seq_col) == F.col("_max_seq"))
-            .drop("_max_seq")
+            .drop("_max_seq", "_cnt")
         )
         # residual ties: exact duplicates (same event redelivered) and the
         # pathological equal-seq-different-id case; 'cand' is ~one row per

@@ -73,23 +73,38 @@ class ReplayResult:
 
     @property
     def rows_applied(self) -> int:
-        # CoW merges report per-disposition counts; MoR merges report only
-        # the delta rows written (disposition is a read-time concept there).
-        # CoW metrics ALSO carry rows_written (total rows in rewritten
-        # files, unchanged carried rows included) — counting it for CoW
-        # would double count, so gate on the batch's merge_mode.
+        """CoW disposition counts (insert+update+delete) plus MoR delta rows
+        written. The two contributions measure DIFFERENT things — a CoW
+        'applied' row changed the table, a MoR delta row may be superseded
+        at read time — so the same log replayed in the two modes reports
+        different totals by design; compare like with like via
+        ``rows_applied_cow`` / ``rows_delta_written``. (CoW metrics also
+        carry rows_written = total rows in rewritten files including
+        unchanged carried rows — counting that for CoW would double count,
+        hence the merge_mode gate.)"""
+        return self.rows_applied_cow + self.rows_delta_written
+
+    @property
+    def rows_applied_cow(self) -> int:
         return sum(
             b.get("rows_inserted", 0) + b.get("rows_updated", 0)
             + b.get("rows_deleted", 0)
-            + (b.get("rows_written", 0) if b.get("merge_mode") == "mor" else 0)
             for b in self.batches
+        )
+
+    @property
+    def rows_delta_written(self) -> int:
+        return sum(
+            b.get("rows_written", 0)
+            for b in self.batches if b.get("merge_mode") == "mor"
         )
 
 
 def prepare_batch(batch: DataFrame, table: SnapshotTable,
                   lww_mode: str = "maxseq", salt: int = 16,
                   max_broadcast_keys: int | None = 5_000_000,
-                  stats: dict | None = None) -> DataFrame:
+                  stats: dict | None = None,
+                  group_expr: Any = None) -> DataFrame:
     """Data rows of one batch -> LWW-resolved rows shaped for MERGE.
 
     Shuffle discipline (this is the hot path of the primary metric):
@@ -117,7 +132,8 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
     shaped = batch.select(*cols)
     resolved = resolve_lww(shaped, tuple(table.key_cols), "seq", "event_id",
                            mode=lww_mode, salt=salt,
-                           max_broadcast_keys=max_broadcast_keys, stats=stats)
+                           max_broadcast_keys=max_broadcast_keys, stats=stats,
+                           group_expr=group_expr)
     resolved = resolved.withColumn(
         # vectorized pandas UDF: normalize + sha256 (input_hint mandate)
         "content_sha256",
@@ -177,77 +193,93 @@ def replay_batch(
     if cache_batch:
         batch = batch.persist()
     try:
-        # ONE narrow pass yields both per-batch scalars — rows_seen (the
-        # reference's received/deduped counters, pipeline.py:38-44, T2/A14)
-        # and the schema_change rows (rare, tiny -> driver-side is correct;
-        # collect_list skips the NULLs the `when` leaves on data rows).
-        # Previously two jobs (count + filtered collect) — per-micro-batch
-        # fixed cost is the streaming path's dominant overhead. The agg also
-        # materializes the cache in the streaming stateful path (single
-        # evaluation of stateful lineage). Evolution is ORDER-INDEPENDENT
-        # (virtual columns guarded by add_seq, see
+        # schema_change rows are rare and tiny — collect ONLY them, in one
+        # narrow pushed-down scan (4 columns; the content payload is never
+        # read). The whole-batch row count no longer needs its own pass: it
+        # rides the LWW guard job below (sum of per-key counts). Evolution
+        # is ORDER-INDEPENDENT (virtual columns guarded by add_seq, see
         # SnapshotTable.evolve_column), so no seq-epoch splitting is needed:
         # apply the metadata commits, then merge the whole batch at once.
-        head = batch.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.collect_list(
-                F.when(F.col("op") == "schema_change",
-                       F.struct("seq", "sc_col_name", "sc_col_type"))
-            ).alias("sc"),
-        ).first()
-        rows_total, sc = head["n"], head["sc"]
+        # In the streaming stateful path this is also the single action
+        # that materializes the persisted micro-batch.
+        sc = (
+            batch.filter(F.col("op") == "schema_change")
+            .select("seq", "sc_col_name", "sc_col_type")
+            .collect()
+        )
         for r in sorted(sc, key=lambda r: r["seq"]):
             table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
-        rows_seen = rows_total - len(sc)
 
         data = batch.filter(F.col("op") != "schema_change")
         # The broadcast-OOM guard (live-key ceiling for the winner broadcast)
         # is folded into resolve_lww's winner aggregation: no separate probe
         # scan of the batch — the winner set is persisted via `lww_stats`,
         # counted exactly post-agg, and reused by the join-back, so the batch
-        # is scanned exactly once before the merge join.
+        # is scanned exactly once before the merge join. ``group_expr`` makes
+        # that SAME guard job return the per-bucket winner counts, which
+        # serve three masters at once: rows_seen/rows_resolved metrics, the
+        # per-bucket lineage (T6), and the merge's affected-bucket set (the
+        # CoW probe job disappears for tables without file stats).
         lww_stats: dict[str, Any] = {}
         resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt,
                                  max_broadcast_keys=max_broadcast_keys,
-                                 stats=lww_stats)
-        # the resolved batch feeds multiple consumers (counter, lineage agg,
-        # bucket pruning, the merge join) — cache it so LWW runs once per batch
+                                 stats=lww_stats,
+                                 group_expr=table.bucket_expr())
+        # the resolved batch feeds multiple consumers (bucket pruning and
+        # the merge join) — cache it so LWW runs once per batch
         resolved = resolved.persist()
         try:
             if "n_keys" in lww_stats:
                 # the winner aggregation's guard already counted the
-                # resolved rows EXACTLY (one row per winner survives the
-                # join-back), so a second count job per batch is pure
-                # overhead; the merge's first action materializes the
-                # resolved cache instead, and the winner-set cache stays
+                # resolved rows EXACTLY (one NON-NULL-key winner survives
+                # the join-back per group), so a second count job per batch
+                # is pure overhead; the merge's first action materializes
+                # the resolved cache instead, and the winner-set cache stays
                 # pinned until then (released in the finally below).
                 rows_resolved = lww_stats["n_keys"]
+                rows_seen = lww_stats["rows_total"]
             else:
                 # modes without the guard count (agg / salted_window /
-                # shuffle fallback): materialize + count here; winners only,
-                # so this count is cheap
+                # explicit shuffle): materialize + count here; winners only,
+                # so this count is cheap — plus one narrow count for the
+                # batch total
                 rows_resolved = resolved.count()
+                rows_seen = data.count()
                 if "winners" in lww_stats:
                     lww_stats["winners"].unpersist()
+            groups = lww_stats.get("groups")
             lineage = None
             if collect_lineage:
-                lineage = {
-                    str(r["_b"]): r["n"]
-                    for r in resolved.groupBy(table.bucket_expr().alias("_b"))
-                    .agg(F.count(F.lit(1)).alias("n")).collect()
-                }
+                if groups is not None:
+                    lineage = dict(groups)  # free: folded into the guard job
+                else:
+                    lineage = {
+                        str(r["_b"]): r["n"]
+                        for r in resolved.groupBy(table.bucket_expr().alias("_b"))
+                        .agg(F.count(F.lit(1)).alias("n")).collect()
+                    }
             metrics: dict[str, Any] = {"batch_id": batch_id, "schema_changes": len(sc)}
             metrics.update(
                 table.merge(
                     spark, resolved, stream_id=stream_id, batch_id=batch_id,
                     extra_metrics={"lineage_rows_per_bucket": lineage} if lineage else None,
                     merge_mode=merge_mode,
+                    # sound because LOG_SCHEMA key types == target key types
+                    # (strings), so merge's conform-cast cannot move a row
+                    # to a different bucket than the guard job hashed it to
+                    source_buckets=(
+                        sorted(int(b) for b in groups) if groups is not None else None
+                    ),
                 )
             )
             metrics["rows_seen"] = rows_seen
             metrics["rows_resolved"] = rows_resolved
-            # duplicates + LWW-superseded rows per batch (reference T2/A14)
+            # duplicates + LWW-superseded rows per batch (reference T2/A14);
+            # includes any null-key rows (unmergeable — dropped, but never
+            # silently: surfaced below)
             metrics["rows_superseded_or_duplicate"] = max(0, rows_seen - rows_resolved)
+            if lww_stats.get("null_key_groups"):
+                metrics["rows_nullkey_dropped_groups"] = lww_stats["null_key_groups"]
             if "n_keys" in lww_stats:
                 metrics["lww_keys"] = lww_stats["n_keys"]
                 metrics["lww_mode"] = lww_stats["lww_mode"]

@@ -50,11 +50,20 @@ def release_dedup_caches() -> int:
     """Unpersist every intermediate the dedup builders cached so far (call
     after materializing the returned pairs). Returns the count released.
     Safe to call at any time: a released cache only costs recomputation if
-    its plan is re-executed."""
+    its plan is re-executed, and an entry whose SparkSession has since been
+    stopped is dropped silently (unpersist on a dead session raises from
+    the JVM bridge; the block died with the session anyway). The registry
+    is always fully drained here, so it cannot grow across sessions — but
+    it does hold strong DataFrame references until called, so long-lived
+    multi-query sessions should call this between dedup workloads."""
     n = 0
     while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
-        n += 1
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # stopped session / already-freed JVM handle: nothing live
     return n
 
 

@@ -148,7 +148,7 @@ class StreamingReplayer:
         return df
 
     def _apply(self, batch: DataFrame, batch_id: int) -> None:
-        replay_batch(
+        metrics = replay_batch(
             batch.sparkSession,
             self.table,
             batch,
@@ -172,10 +172,17 @@ class StreamingReplayer:
             # number of uncompacted MoR commits is the count of distinct
             # delta-v dirs in the manifest, which survives restarts (short
             # availableNow runs can never starve folding) and doesn't grow
-            # on skipped-replay batches
-            deltas = self.table._deltas_of(self.table.manifest())
-            pending = {f.split("/", 1)[0] for fs in deltas.values() for f in fs}
-            if len(pending) >= self.compact_every:
+            # on skipped-replay batches. The delta commit the batch just made
+            # reports that count in its own metrics — no manifest re-read on
+            # the hot path; skipped-replay / empty batches (no metric) fall
+            # back to the manifest so restart catch-up still folds.
+            pending = metrics.get("delta_commits_pending")
+            if pending is None:
+                deltas = self.table._deltas_of(self.table.manifest())
+                pending = len(
+                    {f.split("/", 1)[0] for fs in deltas.values() for f in fs}
+                )
+            if pending >= self.compact_every:
                 # a separate snapshot commit in the same foreachBatch slot
                 self.table.fold_deltas(batch.sparkSession)
 

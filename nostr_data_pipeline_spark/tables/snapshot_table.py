@@ -322,8 +322,27 @@ class SnapshotTable:
     # compressed-delta-bytes ceiling for the broadcast MoR resolve: below it
     # the delta KEY SET (smaller than the deltas themselves) broadcasts and
     # the base table never shuffles; above it reads fall back to the full
-    # hash-partitioned resolve. Periodic compact() keeps real tables under it.
-    mor_broadcast_bytes: int = 32 << 20
+    # hash-partitioned resolve. Periodic compact() keeps real tables under
+    # it. None (default) derives the ceiling from the session's
+    # ``spark.sql.autoBroadcastJoinThreshold`` at read time — the knob the
+    # operator already sized to the executors — so one setting governs both
+    # Spark's own broadcasts and this one; an explicit int on the instance
+    # (or subclass) overrides. A disabled threshold (<= 0) disables the
+    # broadcast resolve too (full hash-partitioned resolve).
+    mor_broadcast_bytes: int | None = None
+
+    # MoR delta commits below this row count skip the per-commit file-stats
+    # job (see _merge_delta) — the streaming trickle path's fixed cost.
+    delta_stats_min_rows: int = 100_000
+
+    def _mor_broadcast_ceiling(self, spark: SparkSession) -> int:
+        if self.mor_broadcast_bytes is not None:
+            return self.mor_broadcast_bytes
+        try:
+            raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        except Exception:
+            return 32 << 20
+        return max(0, _parse_byte_size(raw))
 
     def _mor_resolved(self, spark: SparkSession, m: dict[str, Any],
                       base_files: list[str],
@@ -341,14 +360,15 @@ class SnapshotTable:
         base = self._read_files(spark, base_files, schema)
         delta = self._read_files(spark, delta_files, schema)
         rs, rt = self._resolution_cols(m)
+        ceiling = self._mor_broadcast_ceiling(spark)
         delta_bytes = 0
         for f in delta_files:
             try:
                 delta_bytes += os.path.getsize(os.path.join(self.path, f))
             except OSError:
-                delta_bytes = self.mor_broadcast_bytes + 1  # unknown: no bcast
+                delta_bytes = ceiling + 1  # unknown: no bcast
                 break
-        if delta_bytes > self.mor_broadcast_bytes:
+        if delta_bytes > ceiling:
             return self._resolve_lww_rows(base.unionByName(delta), rs, rt)
         keys = list(self.key_cols)
         dkeys = delta.select(*keys).distinct()
@@ -704,6 +724,7 @@ class SnapshotTable:
         extra_metrics: dict[str, Any] | None = None,
         update_mode: str = "replace",
         merge_mode: str = "cow",
+        source_buckets: list[int] | None = None,
     ) -> dict[str, Any]:
         """MERGE a LWW-resolved source (exactly one row per key) into the table.
 
@@ -753,6 +774,17 @@ class SnapshotTable:
         and because a NON-DETERMINISTIC source (sample(), changed input
         files) could otherwise hash rows into buckets the probe never saw,
         writing files the manifest would not register.
+
+        ``source_buckets``: optional EXACT set of bucket ids the source's
+        rows hash to, when the caller already knows it (the replayer's LWW
+        guard job computes per-bucket winner counts anyway) — skips the
+        probe's own distinct-bucket collect on tables without file stats.
+        The caller must compute it with this table's ``bucket_expr()`` over
+        key values that are ALREADY the table's key types (a conform-cast
+        that changed a key value would move the row to a different bucket
+        than the hint promised); a defensive post-write check still catches
+        a wrong hint (unregistered-bucket output fails the commit instead of
+        silently dropping rows).
         """
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -815,6 +847,7 @@ class SnapshotTable:
             return self._merge_pinned(
                 spark, src, m, schema, seq_col, tie_col, delete_col,
                 stream_id, batch_id, extra_metrics, update_mode,
+                source_buckets,
             )
         finally:
             if own_cache:
@@ -858,13 +891,29 @@ class SnapshotTable:
             if fs:
                 deltas.setdefault(b, []).extend(fs)
                 n_files += len(fs)
-        new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
+        # File-range stats on a delta exist only to prune POINT READS against
+        # the uncompacted tail; compaction discards them with the files. For
+        # a trickle/streaming commit (the whole point of MoR) the stats job
+        # is pure per-commit fixed cost on the ingest hot path, so it runs
+        # only when the delta is big enough that read-side pruning could
+        # actually matter before the next fold. Reads/merges treat a
+        # stats-less file as unprunable — never wrong, just coarser.
+        if n_rows >= self.delta_stats_min_rows:
+            new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
+        else:
+            new_stats = {}
         commits = dict(m["commits"])
         if stream_id is not None and batch_id is not None:
             commits[stream_id] = batch_id
         metrics: dict[str, Any] = {
             "rows_written": int(n_rows), "delta_files": n_files,
             "merge_mode": "mor",
+            # uncompacted delta-commit count, read from the manifest state
+            # this commit is about to publish — lets a streaming caller
+            # drive its folding cadence without re-reading the manifest
+            "delta_commits_pending": len(
+                {f.split("/", 1)[0] for fs in deltas.values() for f in fs}
+            ),
         }
         metrics.update(extra_metrics or {})
         self._commit({
@@ -880,7 +929,8 @@ class SnapshotTable:
         })
         return metrics
 
-    def _probe_touched_files(self, spark, src, m, schema):
+    def _probe_touched_files(self, spark, src, m, schema,
+                             source_buckets=None):
         """ONE narrow job answering both pruning questions: which buckets the
         source touches, and — within them — which FILES the source's keys can
         intersect. The file-range relation (relpath, bucket, key min/max from
@@ -909,9 +959,16 @@ class SnapshotTable:
             if (st := stats_map.get(f)) is not None
         ]
         if not ranges_rows:
-            affected = sorted(
-                r[0] for r in src.select("_bucket").distinct().collect()
-            )
+            # no file stats: pruning is bucket-granular — the caller's hint
+            # (exact by construction: the replayer's guard job groups the
+            # winner set by this table's own bucket hash) replaces the
+            # distinct-bucket collect job entirely
+            if source_buckets is not None:
+                affected = sorted(int(b) for b in source_buckets)
+            else:
+                affected = sorted(
+                    r[0] for r in src.select("_bucket").distinct().collect()
+                )
             touched = {
                 f for b in affected for f in m["buckets"].get(str(b), [])
             }
@@ -948,8 +1005,9 @@ class SnapshotTable:
 
     def _merge_pinned(self, spark, src, m, schema, seq_col, tie_col,
                       delete_col, stream_id, batch_id, extra_metrics,
-                      update_mode) -> dict[str, Any]:
-        affected, touched = self._probe_touched_files(spark, src, m, schema)
+                      update_mode, source_buckets=None) -> dict[str, Any]:
+        affected, touched = self._probe_touched_files(spark, src, m, schema,
+                                                      source_buckets)
         if not affected:
             return {"rows_written": 0, "buckets_rewritten": 0}
 
@@ -1040,6 +1098,22 @@ class SnapshotTable:
             # probed path's empty-affected early return keeps
             return {"rows_written": 0, "buckets_rewritten": 0}
 
+        # invariant check, O(#dirs) driver-side: every written bucket dir must
+        # be in the affected set, else its files would never be registered in
+        # the manifest — rows silently lost. Trips only on a wrong
+        # source_buckets hint or a non-deterministic unpinned source; failing
+        # the commit is the correct outcome for both.
+        stray = sorted(
+            d for d in os.listdir(out_dir)
+            if d.startswith("_bucket=")
+            and int(d.split("=", 1)[1]) not in set(affected)
+        )
+        if stray:
+            raise RuntimeError(
+                f"merge wrote rows into unregistered bucket dirs {stray} at "
+                f"{out_dir}: the affected-bucket set (probe or "
+                f"source_buckets hint) missed source rows; aborting commit"
+            )
         written = self._list_written_buckets(out_dir, data_rel, affected)
         new_buckets = dict(m["buckets"])
         n_carried = 0
@@ -1481,6 +1555,23 @@ class SnapshotTable:
             raise
         return {"num_buckets": n, "previous": old_n,
                 "files": sum(len(v) for v in new_buckets.values())}
+
+
+def _parse_byte_size(raw: Any) -> int:
+    """Spark size-conf string -> bytes ('10485760', '10m', '10MB', '1g',
+    '-1'). Unknown suffixes raise — a silently misparsed ceiling would
+    quietly flip a broadcast decision."""
+    s = str(raw).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+             "t": 1 << 40, "tb": 1 << 40}
+    i = len(s)
+    while i > 0 and not (s[i - 1].isdigit() or s[i - 1] == "-"):
+        i -= 1
+    num, suffix = s[:i], s[i:]
+    if suffix and suffix not in units:
+        raise ValueError(f"unparsable byte size {raw!r}")
+    return int(num) * units.get(suffix, 1)
 
 
 def _parse_type(name: str) -> T.DataType:
