@@ -111,20 +111,37 @@ def main() -> None:
 
         # --- streaming path (the mode the north rule names): the same log
         # tailed as a file stream through foreachBatch -> LWW -> MERGE with
-        # checkpointing, in micro-batches (maxFilesPerTrigger) -------------
+        # checkpointing, in micro-batches (maxFilesPerTrigger). Primary
+        # recipe = the trickle fast path (merge-on-read delta commits,
+        # vouched winner broadcast -> one Spark job per micro-batch beyond
+        # the schema scan), timed INCLUDING the final fold so the table ends
+        # in the same fully-compacted state the CoW path produces.
+        # cdc_stream_cow keeps the round-3-comparable copy-on-write recipe.
         from nostr_data_pipeline_spark.streaming.replayer import StreamingReplayer
 
         stream_table = SnapshotTable(os.path.join(tmp, "stbl"), num_buckets=32)
         rep = StreamingReplayer(
             stream_table, log_dir, os.path.join(tmp, "ckpt"),
             max_files_per_trigger=8, collect_lineage=False,
+            merge_mode="mor", max_broadcast_keys=None,
         )
         t0 = time.perf_counter()
         q = rep.start(spark, available_now=True)
         q.awaitTermination()
+        stream_table.fold_deltas(spark)
         stream_sec = time.perf_counter() - t0
         timings["cdc_stream"] = round(stream_sec, 3)
         stream_events_per_sec = n_delivered / stream_sec
+
+        cow_table = SnapshotTable(os.path.join(tmp, "stbl_cow"), num_buckets=32)
+        rep_cow = StreamingReplayer(
+            cow_table, log_dir, os.path.join(tmp, "ckpt_cow"),
+            max_files_per_trigger=8, collect_lineage=False,
+        )
+        t0 = time.perf_counter()
+        q = rep_cow.start(spark, available_now=True)
+        q.awaitTermination()
+        timings["cdc_stream_cow"] = round(time.perf_counter() - t0, 3)
 
         # --- trickle merge: the steady-state CDC shape (small batch into a
         # LARGE existing table), where write strategy dominates. Same batch,
@@ -178,6 +195,7 @@ def main() -> None:
         "cdc_events_per_sec": round(events_per_sec, 1),
         "cdc_replay_trial_secs": trial_secs,
         "stream_events_per_sec": round(stream_events_per_sec, 1),
+        "stream_recipe": "mor-delta+vouched-broadcast+final-fold",
         "cdc_rows_applied": result.rows_applied,
         "trickle_rows": trickle_rows,
         "trickle_merge_cow_sec": round(trickle_cow_sec, 3),

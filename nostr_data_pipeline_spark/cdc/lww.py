@@ -51,6 +51,7 @@ def resolve_lww(
     max_broadcast_keys: int | None = 5_000_000,
     stats: dict | None = None,
     group_expr: F.Column | None = None,
+    input_observation=None,
 ) -> DataFrame:
     """Reduce to exactly one row per key: the (seq, tie)-max winner.
     Preserves all input columns.
@@ -90,6 +91,16 @@ def resolve_lww(
     (key columns are in scope) in the guard job. The collect is at most
     #groups rows — callers pass low-cardinality expressions (a bucket hash).
 
+    ``input_observation``: optional ``pyspark.sql.Observation`` attached to
+    the winner aggregation's INPUT branch (metrics ``rows_total`` and
+    ``rows_nullkey``) — the zero-extra-job way to count batch rows when the
+    guard is DISARMED (``max_broadcast_keys=None``): the metrics fire when
+    the first action evaluates the aggregation branch. With the guard armed
+    that first action is the guard job itself (which already reports
+    rows_total through ``stats``), so callers use one or the other. The
+    observation lands on the aggregation branch only — the join-back probe
+    branch scans the input separately and must not double-count.
+
     NOTE the guard makes the call EAGER (the count runs a job at
     plan-construction time) for non-streaming inputs; pass
     ``max_broadcast_keys=None`` to stay fully lazy when the caller vouches
@@ -106,7 +117,18 @@ def resolve_lww(
             # per-key row count rides the winner aggregation (tiny extra agg
             # state) so the guard job below can answer rows_total too
             aggs.append(F.count(F.lit(1)).alias("_cnt"))
-        winners = df.groupBy(*key_cols).agg(*aggs)
+        agg_in = df
+        if input_observation is not None:
+            null_row = None
+            for k in key_cols:
+                c = F.col(k).isNull()
+                null_row = c if null_row is None else (null_row | c)
+            agg_in = df.observe(
+                input_observation,
+                F.count(F.lit(1)).alias("rows_total"),
+                F.sum(F.when(null_row, 1).otherwise(0)).alias("rows_nullkey"),
+            )
+        winners = agg_in.groupBy(*key_cols).agg(*aggs)
         # The guard count is an EAGER batch action, so it cannot run on an
         # unbounded streaming frame (count() would raise) — a streaming
         # caller resolves per micro-batch inside foreachBatch (bounded

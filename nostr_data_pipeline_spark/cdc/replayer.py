@@ -104,7 +104,8 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
                   lww_mode: str = "maxseq", salt: int = 16,
                   max_broadcast_keys: int | None = 5_000_000,
                   stats: dict | None = None,
-                  group_expr: Any = None) -> DataFrame:
+                  group_expr: Any = None,
+                  input_observation: Any = None) -> DataFrame:
     """Data rows of one batch -> LWW-resolved rows shaped for MERGE.
 
     Shuffle discipline (this is the hot path of the primary metric):
@@ -133,7 +134,8 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
     resolved = resolve_lww(shaped, tuple(table.key_cols), "seq", "event_id",
                            mode=lww_mode, salt=salt,
                            max_broadcast_keys=max_broadcast_keys, stats=stats,
-                           group_expr=group_expr)
+                           group_expr=group_expr,
+                           input_observation=input_observation)
     resolved = resolved.withColumn(
         # vectorized pandas UDF: normalize + sha256 (input_hint mandate)
         "content_sha256",
@@ -154,7 +156,7 @@ def replay_batch(
     salt: int = 16,
     collect_lineage: bool = True,
     cache_batch: bool = False,
-    max_broadcast_keys: int = 5_000_000,
+    max_broadcast_keys: int | None = 5_000_000,
     merge_mode: str = "cow",
 ) -> dict[str, Any]:
     """Apply one micro-batch (data + schema_change rows mixed) exactly once.
@@ -211,53 +213,76 @@ def replay_batch(
             table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
 
         data = batch.filter(F.col("op") != "schema_change")
-        # The broadcast-OOM guard (live-key ceiling for the winner broadcast)
-        # is folded into resolve_lww's winner aggregation: no separate probe
-        # scan of the batch — the winner set is persisted via `lww_stats`,
-        # counted exactly post-agg, and reused by the join-back, so the batch
-        # is scanned exactly once before the merge join. ``group_expr`` makes
-        # that SAME guard job return the per-bucket winner counts, which
-        # serve three masters at once: rows_seen/rows_resolved metrics, the
-        # per-bucket lineage (T6), and the merge's affected-bucket set (the
-        # CoW probe job disappears for tables without file stats).
+        # Two metric regimes, both zero-extra-scan:
+        # - GUARDED (max_broadcast_keys set, the default): the broadcast-OOM
+        #   guard folds into resolve_lww's winner aggregation — the winner
+        #   set is persisted via `lww_stats`, counted exactly post-agg, and
+        #   reused by the join-back. ``group_expr`` makes that SAME guard job
+        #   return per-bucket winner counts serving three masters: the
+        #   rows_seen/rows_resolved metrics, per-bucket lineage (T6), and
+        #   the merge's affected-bucket set (the CoW probe job disappears on
+        #   tables without file stats).
+        # - VOUCHED (max_broadcast_keys=None) + merge_mode='mor': the
+        #   streaming trickle fast path — NO guard job at all. rows_seen
+        #   rides an Observation on the winner aggregation's input inside
+        #   the delta-write job, rows_resolved IS the delta write's own
+        #   rows_written (winners only reach the delta), and lineage comes
+        #   from the written files' parquet footers (driver-side metadata
+        #   reads, no job). One Spark job per micro-batch beyond the
+        #   schema-event scan. The caller vouches that a micro-batch's
+        #   winner set fits the executors (bounded triggers do).
+        vouched_mor = max_broadcast_keys is None and merge_mode == "mor"
+        obs_in = None
+        if vouched_mor:
+            from pyspark.sql import Observation
+            import uuid as _uuid
+            obs_in = Observation(f"lww-in-{_uuid.uuid4().hex[:8]}")
         lww_stats: dict[str, Any] = {}
         resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt,
                                  max_broadcast_keys=max_broadcast_keys,
                                  stats=lww_stats,
-                                 group_expr=table.bucket_expr())
-        # the resolved batch feeds multiple consumers (bucket pruning and
-        # the merge join) — cache it so LWW runs once per batch
-        resolved = resolved.persist()
+                                 group_expr=(None if vouched_mor
+                                             else table.bucket_expr()),
+                                 input_observation=obs_in)
+        # Guarded path: the resolved batch feeds multiple consumers (bucket
+        # pruning and the merge join) — cache it so LWW runs once per batch.
+        # Vouched MoR path: exactly ONE consumer (the delta write); caching
+        # would only add a store-and-reload of the winner set.
+        if not vouched_mor:
+            resolved = resolved.persist()
         try:
-            if "n_keys" in lww_stats:
-                # the winner aggregation's guard already counted the
-                # resolved rows EXACTLY (one NON-NULL-key winner survives
-                # the join-back per group), so a second count job per batch
-                # is pure overhead; the merge's first action materializes
-                # the resolved cache instead, and the winner-set cache stays
-                # pinned until then (released in the finally below).
-                rows_resolved = lww_stats["n_keys"]
-                rows_seen = lww_stats["rows_total"]
-            else:
-                # modes without the guard count (agg / salted_window /
-                # explicit shuffle): materialize + count here; winners only,
-                # so this count is cheap — plus one narrow count for the
-                # batch total
-                rows_resolved = resolved.count()
-                rows_seen = data.count()
-                if "winners" in lww_stats:
-                    lww_stats["winners"].unpersist()
-            groups = lww_stats.get("groups")
+            groups = None
             lineage = None
-            if collect_lineage:
-                if groups is not None:
-                    lineage = dict(groups)  # free: folded into the guard job
+            if not vouched_mor:
+                if "n_keys" in lww_stats:
+                    # the winner aggregation's guard already counted the
+                    # resolved rows EXACTLY (one NON-NULL-key winner survives
+                    # the join-back per group), so a second count job per
+                    # batch is pure overhead; the merge's first action
+                    # materializes the resolved cache instead, and the
+                    # winner-set cache stays pinned until then (released in
+                    # the finally below).
+                    rows_resolved = lww_stats["n_keys"]
+                    rows_seen = lww_stats["rows_total"]
                 else:
-                    lineage = {
-                        str(r["_b"]): r["n"]
-                        for r in resolved.groupBy(table.bucket_expr().alias("_b"))
-                        .agg(F.count(F.lit(1)).alias("n")).collect()
-                    }
+                    # modes without the guard count (agg / salted_window /
+                    # explicit shuffle): materialize + count here; winners
+                    # only, so this count is cheap — plus one narrow count
+                    # for the batch total
+                    rows_resolved = resolved.count()
+                    rows_seen = data.count()
+                    if "winners" in lww_stats:
+                        lww_stats["winners"].unpersist()
+                groups = lww_stats.get("groups")
+                if collect_lineage:
+                    if groups is not None:
+                        lineage = dict(groups)  # free: folded into the guard job
+                    else:
+                        lineage = {
+                            str(r["_b"]): r["n"]
+                            for r in resolved.groupBy(table.bucket_expr().alias("_b"))
+                            .agg(F.count(F.lit(1)).alias("n")).collect()
+                        }
             metrics: dict[str, Any] = {"batch_id": batch_id, "schema_changes": len(sc)}
             metrics.update(
                 table.merge(
@@ -272,6 +297,23 @@ def replay_batch(
                     ),
                 )
             )
+            if vouched_mor:
+                if metrics.get("skipped_replay"):
+                    # no write action ran -> the observation never fired;
+                    # reading it would block forever (unreachable today:
+                    # replay_batch's own marker check precedes this, but a
+                    # concurrent writer could land a commit in between)
+                    return metrics
+                # the delta write was the one action that evaluated the
+                # batch: its input observation carries the row counts, its
+                # own rows_written IS the resolved-winner count, and the
+                # manifest already holds the footer-derived per-bucket
+                # lineage (_merge_delta records it for every MoR commit)
+                om = dict(obs_in.get)
+                rows_seen = int(om.get("rows_total") or 0)
+                rows_resolved = int(metrics.get("rows_written") or 0)
+                if om.get("rows_nullkey"):
+                    metrics["rows_nullkey_dropped"] = int(om["rows_nullkey"])
             metrics["rows_seen"] = rows_seen
             metrics["rows_resolved"] = rows_resolved
             # duplicates + LWW-superseded rows per batch (reference T2/A14);
@@ -284,7 +326,8 @@ def replay_batch(
                 metrics["lww_keys"] = lww_stats["n_keys"]
                 metrics["lww_mode"] = lww_stats["lww_mode"]
         finally:
-            resolved.unpersist()
+            if not vouched_mor:
+                resolved.unpersist()
             if "winners" in lww_stats:  # no-op if already released above
                 lww_stats["winners"].unpersist()
         return metrics

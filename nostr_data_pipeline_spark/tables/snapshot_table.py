@@ -908,6 +908,7 @@ class SnapshotTable:
         metrics: dict[str, Any] = {
             "rows_written": int(n_rows), "delta_files": n_files,
             "merge_mode": "mor",
+            "delta_rel": data_rel,
             # uncompacted delta-commit count, read from the manifest state
             # this commit is about to publish — lets a streaming caller
             # drive its folding cadence without re-reading the manifest
@@ -916,6 +917,18 @@ class SnapshotTable:
             ),
         }
         metrics.update(extra_metrics or {})
+        if "lineage_rows_per_bucket" not in metrics:
+            # per-bucket lineage from the just-written files' parquet
+            # footers: driver-side metadata reads (<= num_buckets files per
+            # commit), NO Spark job — a delta holds exactly the resolved
+            # batch rows, so footer counts ARE the per-bucket lineage
+            metrics["lineage_rows_per_bucket"] = {
+                b: n for b, n in (
+                    (b, sum(_parquet_num_rows(os.path.join(self.path, f))
+                            for f in fs))
+                    for b, fs in written.items() if fs
+                )
+            }
         self._commit({
             **m,
             "version": new_version,
@@ -1555,6 +1568,13 @@ class SnapshotTable:
             raise
         return {"num_buckets": n, "previous": old_n,
                 "files": sum(len(v) for v in new_buckets.values())}
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from a parquet footer (driver-side metadata read, no job)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _parse_byte_size(raw: Any) -> int:

@@ -232,3 +232,44 @@ def test_rows_applied_counts_each_row_once(spark, tmp_path):
     mor = SnapshotTable(str(tmp_path / "mor"), num_buckets=4)
     res_m = replay_log(spark, mor, log_dir, merge_mode="mor")
     assert res_m.rows_applied == len(exp)
+
+
+def test_null_key_rows_surfaced_not_silent(spark, tmp_path):
+    """A CDC record with a null key component is unmergeable: both metric
+    regimes must DROP it from the table (never write a null-key row) and
+    SURFACE the drop in metrics instead of silently losing it."""
+    import pandas as pd
+
+    from nostr_data_pipeline_spark.cdc.replayer import (
+        LOG_SCHEMA, TARGET_BASE_SCHEMA, replay_batch,
+    )
+
+    rows = pd.DataFrame({
+        "event_id": ["e1", "e2", "e3"],
+        "seq": pd.array([1, 2, 3], dtype="int64"),
+        "op": ["upsert"] * 3,
+        "repo": ["r1", None, "r1"],
+        "path": ["a", "b", "c"],
+        "ts": pd.to_datetime(["2024-01-01"] * 3),
+        "commit": ["c"] * 3, "lang": ["py"] * 3,
+        "content": ["x", "y", "z"],
+        "extra_json": [None] * 3,
+        "sc_col_name": [None] * 3, "sc_col_type": [None] * 3,
+    })
+    batch = spark.createDataFrame(rows, LOG_SCHEMA)
+
+    t1 = SnapshotTable(str(tmp_path / "t1"), num_buckets=4)
+    t1.create(TARGET_BASE_SCHEMA)
+    m1 = replay_batch(spark, t1, batch, "s", 0)  # guarded path
+    assert m1["rows_resolved"] == 2 and m1["rows_seen"] == 3
+    assert m1["rows_nullkey_dropped_groups"] == 1
+    assert t1.read(spark).count() == 2
+
+    t2 = SnapshotTable(str(tmp_path / "t2"), num_buckets=4)
+    t2.create(TARGET_BASE_SCHEMA)
+    m2 = replay_batch(spark, t2, batch, "s", 0, merge_mode="mor",
+                      max_broadcast_keys=None)  # vouched fast path
+    assert m2["rows_resolved"] == 2 and m2["rows_seen"] == 3
+    assert m2["rows_nullkey_dropped"] == 1
+    t2.fold_deltas(spark)
+    assert t2.read(spark).count() == 2

@@ -179,3 +179,38 @@ def test_streaming_mor_replay_matches_oracle(spark, tmp_path, expected):
     deltas = table._deltas_of(table.manifest())
     pending = {f.split("/", 1)[0] for fs in deltas.values() for f in fs}
     assert len(pending) < 3
+
+
+def test_streaming_mor_vouched_fast_path(spark, tmp_path, expected):
+    """max_broadcast_keys=None + merge_mode='mor': the one-job-per-batch
+    trickle fast path — no guard job; rows metrics ride the delta write's
+    observation and the per-bucket lineage comes from parquet footers
+    (recorded in every MoR commit's manifest metrics). Final state must
+    match the oracle, and the footer lineage must sum to the delta rows."""
+    import json
+
+    log_dir = str(tmp_path / "log")
+    write_log(log_dir, SPEC)
+    table = SnapshotTable(str(tmp_path / "tbl"), num_buckets=8)
+    rep = StreamingReplayer(table, log_dir, str(tmp_path / "ckpt"),
+                            max_files_per_trigger=2, merge_mode="mor",
+                            compact_every=2, max_broadcast_keys=None)
+    rep.run_to_completion(spark)
+    table.fold_deltas(spark)
+    _final_matches(spark, table, expected)
+    # every MoR commit's manifest carries footer-derived lineage that sums
+    # to the commit's delta rows, plus the fold-cadence counter
+    import glob
+    import os
+    checked = 0
+    for mf in sorted(glob.glob(os.path.join(table.path, "manifest-v*.json"))):
+        with open(mf) as f:
+            mm = json.load(f)
+        met = mm.get("metrics", {})
+        if met.get("merge_mode") != "mor":
+            continue
+        lin = met["lineage_rows_per_bucket"]
+        assert sum(lin.values()) == met["rows_written"]
+        assert met["delta_commits_pending"] >= 1
+        checked += 1
+    assert checked >= 2
