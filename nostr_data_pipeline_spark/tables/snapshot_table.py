@@ -76,6 +76,18 @@ _STATS_SAFE_TYPES = {"string", "integer", "long", "short", "byte", "boolean"}
 
 
 class SnapshotTable:
+    # Non-key columns whose per-file min/max ride the key-range stats job
+    # (same single narrow scan — a few more pruned columns, no extra job).
+    # These bounds are Iceberg's lower_bounds/upper_bounds for non-key
+    # columns: they let retention deletes and time-filtered reads skip
+    # files whose recorded range cannot match (delete_where / read(where=)).
+    # Effective exactly where the CDC write pattern creates skew: a trickle
+    # merge rewrites the files holding the touched keys, stamping them with
+    # RECENT updated_ts/last_seq ranges — so "updated_ts < cutoff" retention
+    # prunes every recently-rewritten file and scans only the cold ones.
+    # Timestamp bounds are stored as epoch MICROS (JSON-safe, order-exact).
+    stats_cols: tuple[str, ...] = ("updated_ts", "last_seq")
+
     def __init__(self, path: str, key_cols: tuple[str, ...] = ("repo", "path"),
                  num_buckets: int = 32, target_file_rows: int | None = None):
         """``target_file_rows``: when set, every bucket rewrite splits its
@@ -253,15 +265,26 @@ class SnapshotTable:
         ):
             return {}
         kstruct = F.struct(*[F.col(k) for k in self.key_cols])
-        key_schema = T.StructType([schema[k] for k in self.key_cols])
+        extra = self._stats_extra_cols(schema)
+        scan_schema = T.StructType(
+            [schema[k] for k in self.key_cols]
+            + [schema[c] for c, _ in extra]
+        )
+        aggs = [F.min("_k").alias("_mn"), F.max("_k").alias("_mx"),
+                F.count(F.lit(1)).alias("_n")]
+        for c, is_ts in extra:
+            # timestamp bounds as epoch micros: JSON-safe ints whose order
+            # equals the timestamp order (min/max commute with unix_micros)
+            e = F.unix_micros(F.col(c)) if is_ts else F.col(c)
+            aggs += [F.min(e).alias(f"_mn_{c}"), F.max(e).alias(f"_mx_{c}")]
         rows = (
-            # explicit key-only schema: no inference footer pass, and the
-            # scan itself reads just the key columns
-            spark.read.schema(key_schema).parquet(out_dir)
-            .select(F.col("_metadata.file_path").alias("_fp"), kstruct.alias("_k"))
+            # explicit narrow schema: no inference footer pass, and the
+            # scan itself reads just the key + stats columns
+            spark.read.schema(scan_schema).parquet(out_dir)
+            .select(F.col("_metadata.file_path").alias("_fp"), kstruct.alias("_k"),
+                    *[c for c, _ in extra])
             .groupBy("_fp")
-            .agg(F.min("_k").alias("_mn"), F.max("_k").alias("_mx"),
-                 F.count(F.lit(1)).alias("_n"))
+            .agg(*aggs)
             .collect()
         )
         out: dict[str, Any] = {}
@@ -273,7 +296,30 @@ class SnapshotTable:
             mn, mx = list(r["_mn"]), list(r["_mx"])
             if any(v is None for v in mn + mx):
                 continue  # null key values: file stays unprunable
-            out[r["_fp"][idx:]] = {"min": mn, "max": mx, "rows": r["_n"]}
+            entry: dict[str, Any] = {"min": mn, "max": mx, "rows": r["_n"]}
+            cols = {
+                c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
+                for c, _ in extra
+                # all-null column in this file: no bounds, unprunable on it
+                if r[f"_mn_{c}"] is not None and r[f"_mx_{c}"] is not None
+            }
+            if cols:
+                entry["cols"] = cols
+            out[r["_fp"][idx:]] = entry
+        return out
+
+    def _stats_extra_cols(self, schema: T.StructType) -> list[tuple[str, bool]]:
+        """(name, is_timestamp) for each configured non-key stats column
+        that exists in the schema with a bounds-safe type."""
+        out = []
+        for c in self.stats_cols:
+            if c in self.key_cols or c not in schema.fieldNames():
+                continue
+            tn = schema[c].dataType.typeName()
+            if tn == "timestamp":
+                out.append((c, True))
+            elif tn in _STATS_SAFE_TYPES or tn in ("double", "float"):
+                out.append((c, False))
         return out
 
     def _merged_file_stats(self, m: dict[str, Any], new_buckets: dict,
@@ -381,6 +427,116 @@ class SnapshotTable:
     def _key_in_ranges(key: tuple, st: dict[str, Any]) -> bool:
         return tuple(st["min"]) <= key <= tuple(st["max"])
 
+    # ------------------------------------------------- predicate file pruning
+    def _extract_col_ranges(self, spark: SparkSession, condition: str,
+                            schema: T.StructType) -> dict[str, list]:
+        """CONSERVATIVE range extraction from a SQL condition for file-stats
+        pruning: returns ``{col: [lo, hi]}`` (None = unbounded) such that any
+        row satisfying the condition lies inside every returned range —
+        never the converse. Decomposition rules keep it sound by
+        construction:
+
+        - only top-level conjunctions decompose (OR / NOT / parentheses
+          anywhere -> no pruning at all: a disjunct could match outside any
+          one branch's range);
+        - each conjunct either parses as ``col OP literal`` (OP in
+          < <= > >= =) against a stats-carrying column, or is IGNORED —
+          ignoring a conjunct only WIDENS the allowed range (a conjunction
+          can only narrow matches), so partial parses stay sound;
+        - strict bounds are recorded inclusively (a file whose max equals
+          the strict bound survives pruning — reads may open one extra
+          file, never skip a matching one);
+        - timestamp literals are evaluated by Spark itself (session
+          timezone, same cast the filter will apply) into epoch micros —
+          the unit the stats store.
+
+        Anything unparsable yields ``{}`` / drops the conjunct: pruning
+        silently degrades to scanning, never to wrong answers."""
+        import re
+
+        if re.search(r"\bor\b|\bnot\b|[()]|<>|!=", condition, re.IGNORECASE):
+            return {}
+        ranges: dict[str, list] = {}
+        names = set(schema.fieldNames())
+        for conj in re.split(r"\s+and\s+", condition, flags=re.IGNORECASE):
+            m = re.match(
+                r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", conj)
+            if not m:
+                continue
+            col, op, lit = m.groups()
+            if col not in names:
+                continue
+            tn = schema[col].dataType.typeName()
+            val = self._parse_literal(spark, lit, tn)
+            if val is None:
+                continue
+            lo, hi = ranges.get(col, [None, None])
+            if op in ("<", "<="):
+                hi = val if hi is None else min(hi, val)
+            elif op in (">", ">="):
+                lo = val if lo is None else max(lo, val)
+            else:  # '='
+                lo = val if lo is None else max(lo, val)
+                hi = val if hi is None else min(hi, val)
+            ranges[col] = [lo, hi]
+        return ranges
+
+    @staticmethod
+    def _parse_literal(spark: SparkSession, lit: str, type_name: str):
+        """SQL literal -> the python value comparable against stored bounds
+        (timestamps -> epoch micros). None = unparsable (skip the conjunct)."""
+        import re
+
+        lit = lit.strip()
+        m = re.match(r"^(?:timestamp|date)?\s*'(.*)'$", lit, re.IGNORECASE)
+        quoted = m.group(1) if m else None
+        if type_name == "timestamp":
+            if quoted is None:
+                return None
+            try:
+                # Spark evaluates the cast (session tz) — a LocalRelation
+                # plan, no cluster scan; exactly the semantics the filter
+                # itself will apply
+                return spark.sql(
+                    "SELECT unix_micros(TIMESTAMP '{}')".format(
+                        quoted.replace("'", "''"))
+                ).first()[0]
+            except Exception:
+                return None
+        if quoted is not None:
+            return quoted if type_name == "string" else None
+        try:
+            return int(lit)
+        except ValueError:
+            try:
+                return float(lit)
+            except ValueError:
+                return None
+
+    def _file_may_match(self, st: dict[str, Any] | None,
+                        ranges: dict[str, list]) -> bool:
+        """May a file with these recorded stats contain a row inside the
+        ranges? Missing stats (file or column) -> True (unprunable, never
+        wrong). Rows with NULL in a range column cannot satisfy the
+        predicate anyway, so bounds over the non-null values suffice."""
+        if st is None or not ranges:
+            return True
+        for col, (lo, hi) in ranges.items():
+            if col == self.key_cols[0]:
+                bounds = [st["min"][0], st["max"][0]]
+            else:
+                bounds = st.get("cols", {}).get(col)
+            if bounds is None:
+                continue
+            try:
+                if lo is not None and bounds[1] < lo:
+                    return False
+                if hi is not None and bounds[0] > hi:
+                    return False
+            except TypeError:
+                continue  # incomparable literal/bounds: unprunable
+        return True
+
     # ---------------------------------------------------------------- create
     def create(self, schema: T.StructType) -> None:
         """Create an empty table at version 1. Schema must include key cols;
@@ -419,7 +575,8 @@ class SnapshotTable:
              with_payload: bool = False, payload_col: str = "extra_json",
              seq_col: str = "last_seq", version: int | None = None,
              buckets: list[int] | None = None,
-             files: list[str] | None = None) -> DataFrame:
+             files: list[str] | None = None,
+             where: str | None = None) -> DataFrame:
         """Read a snapshot. ``version`` time-travels to an older manifest
         (manifests are immutable; ``vacuum`` bounds how far back the data
         directories still exist — default keeps the newest 2 versions; a
@@ -427,7 +584,20 @@ class SnapshotTable:
         instead of dying inside the parquet scan). ``buckets`` restricts the
         scan to the named buckets' files; ``files`` restricts it to an
         explicit relpath list (the file-pruning hook used by read_keys and
-        changes — the caller must pass files belonging to the manifest)."""
+        changes — the caller must pass files belonging to the manifest).
+
+        ``where``: SQL predicate applied to the result (same as
+        ``.filter(where)``) — passing it HERE additionally prunes the file
+        list with the manifest's per-file bounds (key ranges + non-key
+        ``stats_cols``) before the scan is even planned, via the same
+        conservative range extraction delete_where uses. Skipped whenever
+        the selection includes merge-on-read deltas: a delta row supersedes
+        base rows AT READ TIME, so dropping a delta file on a non-key range
+        could resurrect a stale base row — with live deltas the filter
+        still applies, only the file-level skip is off (compact() restores
+        it). The predicate may reference virtual evolved columns (it runs
+        after projection); only physical stats columns contribute to
+        pruning."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         deltas = self._deltas_of(m)
@@ -466,9 +636,18 @@ class SnapshotTable:
             base_sel = [f for f in files if not f.startswith("delta-v")]
             df = self._mor_resolved(spark, m, base_sel, delta_sel)
         else:
+            if where is not None:
+                ranges = self._extract_col_ranges(spark, where, schema)
+                if ranges:
+                    stats_map = m.get("file_stats", {})
+                    files = [
+                        f for f in files
+                        if self._file_may_match(stats_map.get(f), ranges)
+                    ]
             df = self._read_files(spark, files, schema)
-        return self._project(df, m, include_tombstones, with_payload,
-                             payload_col, seq_col)
+        out = self._project(df, m, include_tombstones, with_payload,
+                            payload_col, seq_col)
+        return out.filter(where) if where is not None else out
 
     def _project(self, df: DataFrame, m: dict[str, Any],
                  include_tombstones: bool, with_payload: bool,
@@ -1328,7 +1507,20 @@ class SnapshotTable:
         condition=TRUE rows are purged). The condition sees PHYSICAL
         columns (retention predicates are on updated_ts/last_seq/keys);
         virtual evolved columns are a read-time projection and cannot be
-        referenced here unless materialize_evolved has made them physical."""
+        referenced here unless materialize_evolved has made them physical.
+
+        File pruning (both phases): simple conjunctive ranges extracted
+        from the condition (``_extract_col_ranges``) are checked against the
+        manifest's per-file bounds — key ranges plus the non-key
+        ``stats_cols`` bounds (updated_ts/last_seq by default). A file whose
+        recorded ranges cannot contain a matching row is neither probed nor
+        rewritten: it carries forward BY REFERENCE, exactly like merge's
+        file pruning. Under the trickle-CDC write pattern this is what
+        makes retention cheap — recently-rewritten (hot) files carry recent
+        updated_ts ranges and drop out of an "updated_ts < cutoff" purge
+        entirely. Sound because a pruned file contains no TRUE-condition
+        row (its rows are all kept verbatim) and kept rows of rewritten
+        files remain key-disjoint from carried siblings."""
         m = self.manifest()
         if any(self._deltas_of(m).values()):
             # retention must evaluate the condition on RESOLVED rows and
@@ -1341,7 +1533,16 @@ class SnapshotTable:
         all_files = [f for fs in m["buckets"].values() for f in fs]
         if not all_files:
             return {"rows_deleted": 0, "buckets_rewritten": 0}
-        df_all = self._read_files(spark, all_files, schema)
+        ranges = self._extract_col_ranges(spark, condition, schema)
+        stats_map = m.get("file_stats", {})
+        cand = {
+            f for f in all_files
+            if self._file_may_match(stats_map.get(f), ranges)
+        }
+        if not cand:
+            return {"rows_deleted": 0, "buckets_rewritten": 0,
+                    "files_scanned": 0, "files_carried": len(all_files)}
+        df_all = self._read_files(spark, sorted(cand), schema)
         per_bucket = {
             int(r["_b"]): r["n"]
             for r in df_all.filter(condition)
@@ -1350,13 +1551,18 @@ class SnapshotTable:
             .collect()
         }
         if not per_bucket:
-            return {"rows_deleted": 0, "buckets_rewritten": 0}
+            return {"rows_deleted": 0, "buckets_rewritten": 0,
+                    "files_scanned": len(cand),
+                    "files_carried": len(all_files) - len(cand)}
         affected = sorted(per_bucket)
 
         new_version = m["version"] + 1
         data_rel = f"data-v{new_version:08d}"
         out_dir = os.path.join(self.path, data_rel)
-        files = [f for b in affected for f in m["buckets"].get(str(b), [])]
+        files = [
+            f for b in affected
+            for f in m["buckets"].get(str(b), []) if f in cand
+        ]
         kept = (
             self._read_files(spark, files, schema)
             .filter(F.coalesce(~F.expr(condition), F.lit(True)))
@@ -1364,16 +1570,26 @@ class SnapshotTable:
         )
         self._write_bucketed(kept, out_dir, len(affected))
 
+        written = self._list_written_buckets(out_dir, data_rel, affected)
         new_buckets = dict(m["buckets"])
-        new_buckets.update(self._list_written_buckets(out_dir, data_rel, affected))
+        n_carried = 0
+        for b in affected:
+            bs = str(b)
+            carried = [f for f in m["buckets"].get(bs, []) if f not in cand]
+            n_carried += len(carried)
+            new_buckets[bs] = carried + written[bs]
         new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
         removed_total = int(sum(per_bucket.values()))
+        metrics = {"retention_delete": condition,
+                   "rows_deleted": removed_total,
+                   "buckets_rewritten": len(affected),
+                   "files_scanned": len(cand),
+                   "files_rewritten": len(files),
+                   "files_carried": len(all_files) - len(cand) + n_carried}
         self._commit({**m, "version": new_version, "buckets": new_buckets,
                       "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
-                      "metrics": {"retention_delete": condition,
-                                  "rows_deleted": removed_total,
-                                  "buckets_rewritten": len(affected)}})
-        return {"rows_deleted": removed_total, "buckets_rewritten": len(affected)}
+                      "metrics": metrics})
+        return dict(metrics)
 
     def vacuum_tombstones(self, spark: SparkSession) -> dict[str, Any]:
         """Purge tombstone rows (safe once no older-seq traffic can arrive)."""

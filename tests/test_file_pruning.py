@@ -331,3 +331,94 @@ def test_vacuum_no_crc_orphans_and_keeps_live_success(spark, tmp_path):
         droot = os.path.join(t.path, os.path.relpath(f, t.path).split("/")[0])
         assert os.path.exists(os.path.join(droot, "_SUCCESS")) or True
     assert t.read(spark).count() == 40
+
+
+# --------------------------------------------------- non-key file statistics
+
+TS_SCHEMA = T.StructType(
+    SCHEMA.fields + [T.StructField("updated_ts", T.TimestampType())]
+)
+
+
+def test_nonkey_stats_prune_reads_and_retention(spark, tmp_path):
+    """Per-file updated_ts/last_seq bounds (recorded alongside the key
+    ranges) must (1) drop cold files from a ts-filtered read's scan,
+    (2) let delete_where probe/rewrite ONLY range-intersecting files, with
+    identical results to the unpruned semantics."""
+    import datetime as dt
+
+    old = dt.datetime(2024, 1, 1)
+    new = dt.datetime(2024, 6, 1)
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=2, target_file_rows=10)
+    t.create(TS_SCHEMA)
+    bulk = [("r", f"p{i:04d}", f"v-{i}", 1, f"e1-{i}", old) for i in range(40)]
+    t.merge(spark, spark.createDataFrame(bulk, TS_SCHEMA))
+    m = t.manifest()
+    all_files = [f for fs in m["buckets"].values() for f in fs]
+    # every file carries non-key bounds (epoch micros for the timestamp)
+    for f in all_files:
+        cols = m["file_stats"][f]["cols"]
+        assert set(cols) == {"updated_ts", "last_seq"}
+        assert cols["last_seq"] == [1, 1]
+
+    # trickle: touch 2 keys with a NEW timestamp -> only their files rewrite
+    trickle = [("r", "p0000", "hot", 100, "e100-0", new),
+               ("r", "p0039", "hot", 100, "e100-39", new)]
+    t.merge(spark, spark.createDataFrame(trickle, TS_SCHEMA))
+    m = t.manifest()
+    files_now = [f for fs in m["buckets"].values() for f in fs]
+    hot = [f for f in files_now
+           if m["file_stats"][f]["cols"]["updated_ts"][1]
+           > int(dt.datetime(2024, 3, 1).timestamp() * 1e6)]
+    assert 0 < len(hot) < len(files_now)
+
+    # (1) a recent-rows read scans ONLY the hot files
+    w = "updated_ts >= TIMESTAMP '2024-03-01 00:00:00'"
+    df = t.read(spark, where=w)
+    scanned = {p.split("/t/", 1)[1] for p in df.inputFiles()}
+    assert scanned == set(hot)
+    # identical semantics to the unpruned filter
+    got = sorted((r["repo"], r["path"]) for r in df.collect())
+    exp = sorted((r["repo"], r["path"])
+                 for r in t.read(spark).filter(w).collect())
+    assert got == exp == [("r", "p0000"), ("r", "p0039")]
+
+    # (2) retention purge of the recent rows probes only the hot files
+    res = t.delete_where(spark, w)
+    assert res["rows_deleted"] == 2
+    assert res["files_scanned"] == len(hot) < len(files_now)
+    assert t.read(spark).count() == 38
+    # pruned-away files carried forward by reference, still readable
+    assert t.read(spark).filter("path = 'p0010'").count() == 1
+
+    # conservative extractor: OR / unparsable -> no pruning, same answers
+    w_or = "updated_ts >= TIMESTAMP '2024-03-01 00:00:00' OR path = 'p0010'"
+    assert t._extract_col_ranges(spark, w_or, t.schema()) == {}
+    assert t.read(spark, where=w_or).count() == 1  # p0010 (hot rows deleted)
+    # ignored conjunct only widens: still prunes on the parsed half
+    w_mix = "last_seq <= 1 AND content LIKE 'v-%'"
+    r = t._extract_col_ranges(spark, w_mix, t.schema())
+    assert r == {"last_seq": [None, 1]}
+
+
+def test_nonkey_stats_skip_mor_deltas_on_read(spark, tmp_path):
+    """With live merge-on-read deltas, non-key file pruning must be OFF:
+    dropping a delta file on a ts range could resurrect a superseded base
+    row. The filter still applies; results must match resolve-then-filter."""
+    import datetime as dt
+
+    old, new = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=1, target_file_rows=10)
+    t.create(TS_SCHEMA)
+    t.merge(spark, spark.createDataFrame(
+        [("r", f"p{i:04d}", f"v-{i}", 1, f"e1-{i}", old) for i in range(20)],
+        TS_SCHEMA))
+    # delta supersedes p0001 with a NEW ts (never compacted)
+    t.merge(spark, spark.createDataFrame(
+        [("r", "p0001", "hot", 50, "e50", new)], TS_SCHEMA),
+        merge_mode="mor")
+    w = "updated_ts < TIMESTAMP '2024-03-01 00:00:00'"
+    got = sorted(r["path"] for r in t.read(spark, where=w).collect())
+    # p0001's winner is the NEW delta row -> excluded; old base row must NOT
+    # resurface through pruning
+    assert got == sorted(f"p{i:04d}" for i in range(20) if i != 1)
