@@ -578,9 +578,11 @@ def q_dedup_incremental(spark, sf_dir):
     new = docs.filter(F.col("doc_id") % 2 == 1)
     tmp = tempfile.mkdtemp(prefix="mhidx_")
     try:
-        # 8 buckets: the contract corpus is small; fewer, fuller files per
-        # merge (the production sizing rule lives on SnapshotTable.rebucket)
-        idx = MinHashIndex.create(spark, tmp, num_buckets=8)
+        # 4 buckets: the contract corpus is small; fewer, fuller files per
+        # merge keep the throwaway-index fixed cost (2 creates + 2 MERGE
+        # commits) off the gate's critical path (the production sizing rule
+        # lives on SnapshotTable.rebucket)
+        idx = MinHashIndex.create(spark, tmp, num_buckets=4)
         idx.add(spark, base)
         # check() localCheckpoints eagerly, so the plan no longer reads the
         # temp index after return and the cleanup below is safe

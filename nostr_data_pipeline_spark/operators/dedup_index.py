@@ -8,12 +8,26 @@ self-join and whose text should never be re-read. ``MinHashIndex`` persists
 the per-document MinHash machinery in two :class:`SnapshotTable`s so each
 check touches only hashes, never corpus text:
 
-- ``bands/``  — key ``(doc_id, band)``; one narrow row per document per LSH
-  band carrying the band hash. This is the collision side of every check.
+- ``bands/``  — key ``(band, bandhash, doc_id)``, BUCKETED BY THE
+  ``(band, bandhash)`` PREFIX (SnapshotTable ``bucket_cols``); one narrow
+  row per document per LSH band. This is the collision side of every check,
+  and the prefix bucketing is what makes a check a PROBE instead of a scan:
+  the batch's own (band, bandhash) pairs name the only buckets where a
+  collision can live, so ``check`` reads a strict subset of the band files.
 - ``sigs/``   — key ``(doc_id,)``; the full MinHash signature
   (``array<long>``), read only for the (small) candidate set to estimate
   Jaccard as the fraction of agreeing signature positions (the standard
   MinHash estimator — E[frac] = J; no shingle sets are stored or re-read).
+
+Revision semantics under the bandhash layout: re-indexing a revised doc
+INSERTS its new band keys; the old revision's band rows linger (their key
+embeds the old hash, so no upsert can replace them in place). That is safe
+by construction — a stale band row can only ever ADD a candidate pair, and
+every candidate is verified against the doc's CURRENT signature from the
+seq-guarded ``sigs`` table, so stale candidates either re-confirm a real
+near-duplicate or fail the Jaccard check. Stale rows cost bytes, not
+correctness; ``vacuum_stale_bands`` tombstones them (bands.seq < sigs.seq)
+at maintenance time.
 
 Both tables go through the engine's MERGE, so index maintenance inherits
 the CDC guarantees: idempotent per ``(stream_id, batch_id)`` (a replayed
@@ -64,9 +78,9 @@ _CONFIG = "index_config.json"
 
 def _bands_schema() -> T.StructType:
     return T.StructType([
-        T.StructField("doc_id", T.LongType()),
         T.StructField("band", T.IntegerType()),
         T.StructField("bandhash", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
         T.StructField("seq", T.LongType()),
     ])
 
@@ -87,6 +101,10 @@ class MinHashIndex:
     meaningfully, so a parameter change means a rebuild, exactly like
     re-bucketing a table)."""
 
+    # cap on distinct (band, bandhash) pairs collected per check for bucket
+    # pruning; above it the check degrades to the full band-table scan
+    max_bucket_probe: int = 8192
+
     def __init__(self, path: str, num_hashes: int = 32, bands: int = 8,
                  shingle_n: int = 3, num_buckets: int = 16):
         if bands <= 0 or num_hashes % bands != 0:
@@ -97,7 +115,9 @@ class MinHashIndex:
         self.shingle_n = shingle_n
         self.num_buckets = num_buckets
         self.bands_table = SnapshotTable(
-            os.path.join(path, "bands"), key_cols=("doc_id", "band"),
+            os.path.join(path, "bands"),
+            key_cols=("band", "bandhash", "doc_id"),
+            bucket_cols=("band", "bandhash"),
             num_buckets=num_buckets,
         )
         self.sigs_table = SnapshotTable(
@@ -230,7 +250,24 @@ class MinHashIndex:
             new_sig = new_sig.persist()
         try:
             new_bands = self._band_rows(new_sig)
-            idx_bands = self.bands_table.read(spark, seq_col="seq").select(
+            # bucket-pruned index probe: the batch's own (band, bandhash)
+            # pairs name the ONLY buckets a collision can live in (prefix
+            # bucketing, see module docstring) — collect them (micro-batch
+            # sized: <= docs x bands pairs, capped) and read just those
+            # buckets of the band table. Past the cap, fall back to the
+            # full narrow scan (still never shuffled).
+            probe = [
+                (r["band"], r["bandhash"])
+                for r in new_bands.select("band", "bandhash").distinct()
+                .limit(self.max_bucket_probe + 1).collect()
+            ]
+            if len(probe) <= self.max_bucket_probe:
+                hit = self.bands_table.buckets_for_values(spark, probe)
+                idx_scan = self.bands_table.read(spark, seq_col="seq",
+                                                 buckets=hit)
+            else:
+                idx_scan = self.bands_table.read(spark, seq_col="seq")
+            idx_bands = idx_scan.select(
                 F.col("doc_id").alias("dup_of"), "band", "bandhash",
             )
             # broadcast the micro-batch side: candidate generation is a
@@ -353,6 +390,32 @@ class MinHashIndex:
         finally:
             sig.unpersist()
         return {"bands": bm, "sigs": sm}
+
+    def vacuum_stale_bands(self, spark: SparkSession) -> dict[str, Any]:
+        """Tombstone band rows left behind by document revisions (their seq
+        is below the doc's CURRENT signature seq — see module docstring for
+        why they are harmless until vacuumed), then purge the tombstones.
+        One join of the two narrow tables + one merge; a maintenance op,
+        off the ingest path."""
+        bands = self.bands_table.read(spark, seq_col="seq")
+        cur = self.sigs_table.read(spark, seq_col="seq").select(
+            "doc_id", F.col("seq").alias("_cur_seq"),
+        )
+        stale = (
+            bands.join(cur, "doc_id")
+            .filter(F.col("seq") < F.col("_cur_seq"))
+            .select(
+                "band", "bandhash", "doc_id",
+                # stamp with the current seq so the tombstone wins the guard
+                F.col("_cur_seq").alias("seq"),
+                F.lit(True).alias("_deleted"),
+            )
+        )
+        m = self.bands_table.merge(spark, stale, seq_col="seq",
+                                   tie_col="bandhash")
+        self.bands_table.vacuum_tombstones(spark)
+        return {"stale_tombstoned": m.get("rows_deleted", 0)
+                + m.get("rows_tombstoned", 0)}
 
     # -------------------------------------------------------------- ingest
     def ingest(self, spark: SparkSession, docs: DataFrame,

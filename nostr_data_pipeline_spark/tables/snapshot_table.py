@@ -89,7 +89,8 @@ class SnapshotTable:
     stats_cols: tuple[str, ...] = ("updated_ts", "last_seq")
 
     def __init__(self, path: str, key_cols: tuple[str, ...] = ("repo", "path"),
-                 num_buckets: int = 32, target_file_rows: int | None = None):
+                 num_buckets: int = 32, target_file_rows: int | None = None,
+                 bucket_cols: tuple[str, ...] | None = None):
         """``target_file_rows``: when set, every bucket rewrite splits its
         output into files of at most this many rows (``maxRecordsPerFile``).
         Because rewrites are ``sortWithinPartitions(*key_cols)``, the split
@@ -98,11 +99,33 @@ class SnapshotTable:
         key-range files rewrites only the intersecting file(s), not the
         bucket. At 100 TB (multi-GB buckets) this is the difference between
         rewriting ~a file and rewriting ~a bucket per touched key range.
-        ``None`` keeps one file per bucket per rewrite (small tables)."""
+        ``None`` keeps one file per bucket per rewrite (small tables).
+
+        ``bucket_cols``: optional SUBSET of ``key_cols`` to hash for bucket
+        placement (default: all key columns) — the equivalent of bucketing a
+        composite-keyed table by a key prefix so point probes on that prefix
+        prune to its buckets (e.g. an LSH band table keyed
+        (band, bandhash, doc_id) but bucketed by (band, bandhash): a probe
+        knows the hash, never the doc ids). MUST be a subset of the key: a
+        row's bucket is then a pure function of its key, so an updated row
+        can never migrate buckets out from under the merge join. All merge/
+        pruning invariants are unchanged — files stay key-sorted, sibling
+        files of a bucket still hold disjoint FULL-key ranges."""
         self.path = path
         self.key_cols = tuple(key_cols)
         self.num_buckets = num_buckets
         self.target_file_rows = target_file_rows
+        if bucket_cols is not None:
+            bucket_cols = tuple(bucket_cols)
+            if not set(bucket_cols) <= set(self.key_cols):
+                raise ValueError(
+                    f"bucket_cols {bucket_cols} must be a subset of "
+                    f"key_cols {self.key_cols} (bucket placement must be a "
+                    f"function of the key, or updates would migrate buckets)"
+                )
+            if bucket_cols == self.key_cols:
+                bucket_cols = None  # the default, stored canonically
+        self.bucket_cols = bucket_cols
 
     # ------------------------------------------------------------------ util
     def _version_file(self) -> str:
@@ -126,9 +149,11 @@ class SnapshotTable:
         disagrees with the on-disk layout would probe the wrong bucket on
         point reads and merge updates past existing rows (duplicate keys)."""
         m = cls(path)._raw_manifest()
+        bc = m.get("bucket_cols")
         return cls(path, key_cols=tuple(m["key_cols"]),
                    num_buckets=int(m["num_buckets"]),
-                   target_file_rows=m.get("target_file_rows"))
+                   target_file_rows=m.get("target_file_rows"),
+                   bucket_cols=tuple(bc) if bc else None)
 
     def _raw_manifest(self, version: int | None = None) -> dict[str, Any]:
         if version is None:
@@ -159,6 +184,14 @@ class SnapshotTable:
             raise ValueError(
                 f"table at {self.path} has key_cols={m['key_cols']} but this "
                 f"handle was constructed with {list(self.key_cols)}; use "
+                f"SnapshotTable.open({self.path!r})"
+            )
+        # and so are bucket_cols: same hash, different inputs
+        mine = list(self.bucket_cols) if self.bucket_cols else None
+        if m.get("bucket_cols", mine) != mine:
+            raise ValueError(
+                f"table at {self.path} has bucket_cols={m.get('bucket_cols')} "
+                f"but this handle was constructed with {mine}; use "
                 f"SnapshotTable.open({self.path!r})"
             )
         return m
@@ -193,7 +226,8 @@ class SnapshotTable:
             os.close(dfd)
 
     def bucket_expr(self) -> F.Column:
-        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.num_buckets)).cast("int")
+        cols = self.bucket_cols or self.key_cols
+        return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
 
     def _list_written_buckets(self, out_dir: str, data_rel: str,
                               buckets) -> dict[str, list[str]]:
@@ -551,6 +585,7 @@ class SnapshotTable:
             "version": 1,
             "schema": T.StructType(fields).jsonValue(),
             "key_cols": list(self.key_cols),
+            "bucket_cols": list(self.bucket_cols) if self.bucket_cols else None,
             "num_buckets": self.num_buckets,
             "buckets": {},          # bucket id (str) -> [relative file paths]
             "deltas": {},           # bucket id (str) -> [delta relpaths] (merge-on-read)
@@ -700,18 +735,70 @@ class SnapshotTable:
 
     def buckets_for_keys(self, spark: SparkSession,
                          keys: list[tuple]) -> list[int]:
-        """Bucket ids for a list of key tuples, computed with the SAME JVM
-        hash the writer uses (``pmod(xxhash64(keys), num_buckets)``) on a
-        tiny local relation — no scan of the table."""
+        """Bucket ids for a list of key tuples, computed with the SAME hash
+        the writer uses (``pmod(xxhash64(keys), num_buckets)``). Hashed on
+        the DRIVER for the common key types (exact python replica of the
+        JVM expression, functions/xxh64.py — zero Spark jobs on the point-
+        read path); falls back to a tiny local-relation job for types the
+        replica doesn't cover."""
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
-        key_fields = [schema[k] for k in self.key_cols]
-        kdf = spark.createDataFrame(
-            [tuple(k) for k in keys], T.StructType(key_fields)
+        cols = self.bucket_cols or self.key_cols
+        pos = {k: i for i, k in enumerate(self.key_cols)}
+        vals = [tuple(k[pos[c]] for c in cols) for k in keys]
+        return self._buckets_of(spark, schema, cols, vals)
+
+    def buckets_for_values(self, spark: SparkSession,
+                           values: list[tuple]) -> list[int]:
+        """Bucket ids for a list of BUCKET-column value tuples (equals
+        buckets_for_keys when bucket_cols is unset). The probe shape for a
+        prefix-bucketed table: the caller knows the bucket columns' values
+        (e.g. an LSH (band, bandhash)) but not the full keys."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        cols = self.bucket_cols or self.key_cols
+        return self._buckets_of(spark, schema, cols, [tuple(v) for v in values])
+
+    def _buckets_of(self, spark, schema, cols, vals) -> list[int]:
+        from nostr_data_pipeline_spark.functions import xxh64
+
+        type_names = [schema[c].dataType.typeName() for c in cols]
+        if all(t in xxh64.SUPPORTED_TYPES for t in type_names):
+            return sorted({
+                xxh64.bucket_of(v, type_names, self.num_buckets) for v in vals
+            })
+        vdf = spark.createDataFrame(
+            vals, T.StructType([schema[c] for c in cols])
         )
         return sorted({
-            r["_b"] for r in kdf.select(self.bucket_expr().alias("_b")).collect()
+            r["_b"] for r in vdf.select(self.bucket_expr().alias("_b")).collect()
         })
+
+    def prune_files_by_key_prefix(self, m: dict[str, Any], files: list[str],
+                                  prefixes: list[tuple]) -> list[str]:
+        """Drop files whose recorded FULL-key range cannot contain any key
+        starting with one of the given key-PREFIX tuples. Sound because
+        tuple order is lexicographic: a key with prefix p lies in a file's
+        [min, max] only if min[:len(p)] <= p <= max[:len(p)]. Files without
+        stats are kept (unprunable, never wrong)."""
+        stats = m.get("file_stats", {})
+        pfx = [tuple(p) for p in prefixes]
+        out = []
+        for f in files:
+            st = stats.get(f)
+            if st is None:
+                out.append(f)
+                continue
+            n = None
+            keep = False
+            for p in pfx:
+                n = len(p)
+                if tuple(st["min"][:n]) <= p <= tuple(st["max"][:n]):
+                    keep = True
+                    break
+            if keep:
+                out.append(f)
+        return out
 
     def read_keys(self, spark: SparkSession, keys: list[tuple],
                   include_tombstones: bool = False, with_payload: bool = False,

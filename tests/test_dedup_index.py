@@ -197,10 +197,63 @@ def test_revision_seq_guard(spark, tmp_path):
     idx.add(spark, stale, seq_col="seq")
     sig3 = idx.sigs_table.read(spark, seq_col="seq").collect()[0]["sig"]
     assert sig3 == sig2, "lower-seq revision must not regress the index"
-    # the revised doc's band rows replaced the originals: exactly `bands`
-    # live rows remain for the key space
-    n_bands = idx.bands_table.read(spark, seq_col="seq").count()
-    assert n_bands == idx.bands
+    # bandhash layout: the revision INSERTED its new band keys; the v1 rows
+    # linger as harmless stale candidates (verified against the current,
+    # seq-guarded signature), and the stale seq=4 re-add was a guard no-op
+    bands_now = idx.bands_table.read(spark, seq_col="seq")
+    assert bands_now.count() == 2 * idx.bands
+    assert bands_now.agg(F.min("seq")).first()[0] == 5  # seq-4 re-add rejected
+    # maintenance tombstones exactly the stale (seq < current sig seq) rows
+    res = idx.vacuum_stale_bands(spark)
+    assert res["stale_tombstoned"] == idx.bands
+    after = idx.bands_table.read(spark, seq_col="seq")
+    assert after.count() == idx.bands
+    assert after.agg(F.min("seq")).first()[0] == 6
+
+
+def test_check_prunes_band_buckets(spark, corpus, tmp_path):
+    """Prefix bucketing (bucket_cols=(band, bandhash)) must turn a small
+    batch's check into a probe of a STRICT SUBSET of the band files, with
+    results identical to the full-scan fallback."""
+    base, new = corpus
+    idx = MinHashIndex.create(spark, str(tmp_path / "idx"), num_buckets=16)
+    idx.add(spark, base)
+    # one doc whose planted near-dup source (doc 0) is in the indexed base
+    small = new.filter(F.col("doc_id") == 1000)
+
+    pruned = sorted(
+        (r["doc_id"], r["dup_of"], r["est_jaccard"], r["dup_src"])
+        for r in idx.check(spark, small, threshold=0.35).collect()
+    )
+    try:
+        idx.max_bucket_probe = 0  # force the full-scan fallback
+        full = sorted(
+            (r["doc_id"], r["dup_of"], r["est_jaccard"], r["dup_src"])
+            for r in idx.check(spark, small, threshold=0.35).collect()
+        )
+    finally:
+        del idx.max_bucket_probe  # restore the class default
+    assert pruned == full and len(pruned) >= 1
+
+    # file-count evidence: the batch's band pairs hit < all buckets, and
+    # every bucket holds >= 1 file, so the probed file set is a strict subset
+    sig = idx._sig_frame(small, "doc_id", "text", None)
+    pairs = [(r["band"], r["bandhash"])
+             for r in idx._band_rows(sig).select("band", "bandhash").collect()]
+    hit = idx.bands_table.buckets_for_values(spark, pairs)
+    m = idx.bands_table.manifest()
+    files_hit = sum(len(m["buckets"].get(str(b), [])) for b in hit)
+    files_all = sum(len(fs) for fs in m["buckets"].values())
+    assert 0 < files_hit < files_all
+    # and the pruned read's plan actually scans only those files
+    scanned = {
+        p.split("/bands/", 1)[1]
+        for p in idx.bands_table.read(spark, seq_col="seq", buckets=hit)
+        .inputFiles()
+    }
+    assert scanned == {
+        f for b in hit for f in m["buckets"].get(str(b), [])
+    }
 
 
 def test_open_restores_params(spark, tmp_path):

@@ -305,3 +305,41 @@ def test_layout_guard_and_open(spark, tmp_path):
     opened = SnapshotTable.open(str(tmp_path / "t"))
     assert opened.num_buckets == 16 and opened.key_cols == ("repo", "path")
     assert opened.read(spark).count() == 1
+
+
+def test_driver_bucket_routing_matches_jvm(spark):
+    """functions/xxh64.bucket_of must agree with the JVM bucket expression
+    for every supported type (a divergence silently routes point reads to
+    the wrong bucket — this test IS the contract). Randomized values incl.
+    nulls, plus the multi-column chaining and pmod of negative hashes."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nostr_data_pipeline_spark.functions.xxh64 import bucket_of
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(200):
+        rows.append((
+            rng.choice([None, "".join(chr(rng.randint(32, 0x2FA0))
+                                      for _ in range(rng.randint(0, 40)))]),
+            rng.choice([None, rng.randint(-(1 << 63), (1 << 63) - 1)]),
+            rng.choice([None, rng.randint(-(1 << 31), (1 << 31) - 1)]),
+            rng.choice([None, True, False]),
+        ))
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("l", T.LongType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("b", T.BooleanType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    for n in (16, 32, 997):
+        got = [r["_b"] for r in df.select(
+            F.pmod(F.xxhash64("s", "l", "i", "b"), F.lit(n)).cast("int")
+            .alias("_b")).collect()]
+        exp = [bucket_of(v, ["string", "long", "integer", "boolean"], n)
+               for v in rows]
+        assert got == exp
