@@ -17,6 +17,72 @@ import tempfile
 import time
 
 
+def mor_read_amplification() -> None:
+    """`python bench.py --mor-curve`: read() latency vs number of
+    uncompacted MoR delta commits (the LSM read/write trade), to give
+    ``compact_every`` an evidence-based default. Prints one JSON line:
+    base-read time, per-delta-count read times, and the fold cost."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
+    from pyspark.sql import functions as F
+
+    from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log_spark
+    from nostr_data_pipeline_spark.cdc.replayer import replay_log
+    from nostr_data_pipeline_spark.session import get_spark
+    from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+    spark = get_spark("bench-mor-curve", cores=cpus)
+    tmp = tempfile.mkdtemp(prefix="mor-curve-")
+    out: dict = {"metric": "mor read amplification", "unit": "sec",
+                 "events": n_events, "cpus": cpus}
+    try:
+        log_dir = os.path.join(tmp, "log")
+        write_log_spark(spark, log_dir, LogSpec(
+            n_events=n_events, n_repos=max(50, n_events // 2000),
+            paths_per_repo=50, n_files=16, seed=42))
+        t = SnapshotTable(os.path.join(tmp, "tbl"), num_buckets=32)
+        replay_log(spark, t, log_dir, collect_lineage=False)
+        hi = t.read(spark).agg(F.max("last_seq")).first()[0] or 0
+
+        def timed_read() -> float:
+            best = None
+            for _ in range(3):  # best-of-3: co-tenant noise only adds
+                t0 = time.perf_counter()
+                # vary the literal so no materialized stage is reused
+                t.read(spark).filter(
+                    F.col("last_seq") >= int(best is None)).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
+
+        out["read_0_deltas"] = timed_read()
+        keys = [(r["repo"], r["path"]) for r in
+                t.read(spark).select("repo", "path").limit(4096).collect()]
+        curve = {}
+        n_done = 0
+        for target in (1, 4, 16):
+            while n_done < target:
+                lo = (n_done * 256) % len(keys)
+                batch = spark.createDataFrame(
+                    [(r, p, f"delta-{n_done}", int(hi) + 1 + n_done,
+                      f"e-{n_done}-{i}") for i, (r, p) in
+                     enumerate(keys[lo:lo + 256])],
+                    "repo string, path string, content string, "
+                    "last_seq long, last_event_id string",
+                )
+                t.merge(spark, batch, merge_mode="mor")
+                n_done += 1
+            curve[str(target)] = timed_read()
+        out["read_by_delta_commits"] = curve
+        t0 = time.perf_counter()
+        t.fold_deltas(spark)
+        out["fold_16_deltas"] = round(time.perf_counter() - t0, 3)
+        out["read_after_fold"] = timed_read()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -206,4 +272,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--mor-curve" in sys.argv[1:]:
+        sys.exit(mor_read_amplification())
     sys.exit(main())

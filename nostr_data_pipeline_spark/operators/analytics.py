@@ -1262,6 +1262,16 @@ def _q_dedup_canonical(spark, sf_dir):
     return q_dedup_canonical(spark, sf_dir)
 
 
+def _q_dedup_canonical_star(spark, sf_dir):
+    # same pairs, same election, computed by the alternating large-star/
+    # small-star algorithm (Kiveris et al. SoCC'14) — gated by the SAME
+    # recursive-CTE oracle as dedup_canonical, so the adversarial-graph
+    # mode is value-verified end-to-end, not just unit-tested
+    from nostr_data_pipeline_spark.operators.dedup import q_dedup_canonical
+
+    return q_dedup_canonical(spark, sf_dir, mode="star")
+
+
 def _q_dedup_embedding(spark, sf_dir):
     from nostr_data_pipeline_spark.operators.dedup import q_dedup_embedding
 
@@ -1476,6 +1486,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "a2_approx_variants": (a2_approx_variants, None),  # sketch ops: rows-only
     "dedup_ngram_jaccard": (_q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_canonical": (_q_dedup_canonical, DEDUP_CANONICAL_SQL),
+    "dedup_canonical_star": (_q_dedup_canonical_star, DEDUP_CANONICAL_SQL),
     # deterministic but xxhash64-based: rows-only, replica-verified
     # (tests/test_dedup_index.py)
     "dedup_incremental": (_q_dedup_incremental, None),

@@ -260,35 +260,46 @@ def ngram_jaccard_pairs(
 
 def connected_components(
     pairs: DataFrame, id1_col: str = "id1", id2_col: str = "id2",
-    max_iter: int = 50,
+    max_iter: int = 50, mode: str = "minlabel",
 ) -> DataFrame:
-    """Connected components over a duplicate-pair edge list by iterative
-    min-label propagation: every node starts labeled with its own id; each
-    round, a node adopts the minimum label among itself and its neighbors;
-    converged when no label changes. Returns ``(node, component)`` where
-    ``component`` is the minimum node id of the component — deterministic.
+    """Connected components over a duplicate-pair edge list. Returns
+    ``(node, component)`` where ``component`` is the minimum node id of the
+    component — deterministic, identical for both modes.
 
-    Scale notes (100 TB corpus):
+    ``mode='minlabel'`` (default): iterative min-label propagation — every
+    node starts labeled with its own id; each round, a node adopts the
+    minimum label among itself and its neighbors; converged when no label
+    changes.
 
-    - the iteration state is the narrow ``(node, label)`` relation over only
-      the nodes that appear in some pair — a small fraction of the corpus —
-      and each round is one equi-join plus one min-groupBy on that relation
-      (two shuffles on 16-byte rows);
-    - rounds needed = component diameter. Near-duplicate clusters are
-      star-or-clique-shaped (every member pairs with most others), so the
-      diameter is small and bounded in practice; for adversarial
-      high-diameter graphs the alternating large-star/small-star algorithm
-      (Kiveris et al., "Connected Components in MapReduce and Beyond",
-      SoCC'14) converges in O(log^2 n) rounds at higher per-round cost —
-      this operator trades that for the simpler round that wins on
-      dedup-shaped graphs;
+    ``mode='star'``: the alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public): each round rewires every node's LARGER neighbors to
+    its neighborhood minimum (large-star) then its smaller-or-equal
+    neighbors likewise (small-star); the edge set converges to disjoint
+    stars centered on the component minima in O(log^2 n) rounds regardless
+    of diameter. Pick it for adversarial high-diameter graphs (chains,
+    lattices) where min-label needs diameter rounds; its per-round cost is
+    higher (two groupBy+join passes vs one), which is why dedup-shaped
+    graphs (stars/cliques from near-dup clusters, diameter 2-3) default to
+    min-label.
+
+    Scale notes (100 TB corpus), both modes:
+
+    - the iteration state is narrow — (node, label) for min-label, the
+      (shrinking) edge list for star — over only the nodes that appear in
+      some pair, a small fraction of the corpus; each round shuffles
+      16-byte rows only;
     - lineage is cut every round with ``localCheckpoint`` (iterative plans
       otherwise grow unboundedly and re-execute from the source); the
       convergence check rides on the checkpoint's materialization.
 
     The loop is driver-coordinated but never moves data to the driver —
-    each round's `changed` count is the only scalar collected.
+    each round's convergence scalar is the only thing collected.
     """
+    if mode == "star":
+        return _cc_star(pairs, id1_col, id2_col, max_iter)
+    if mode != "minlabel":
+        raise ValueError(f"unknown mode {mode!r} (minlabel | star)")
     e = pairs.select(F.col(id1_col).alias("a"), F.col(id2_col).alias("b"))
     edges = _persist(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -332,9 +343,87 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def _cc_star(pairs: DataFrame, id1_col: str, id2_col: str,
+             max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star (see connected_components). Edges
+    are kept directed high->low (``hi`` > ``lo``); at convergence they form
+    disjoint stars whose centers are the component minima."""
+    raw = pairs.select(F.col(id1_col).alias("a"), F.col(id2_col).alias("b"))
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
+        .distinct().localCheckpoint()
+    )
+    edges = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+        .dropDuplicates(["hi", "lo"])
+        .localCheckpoint()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetric adjacency; per node u: m = min(neighborhood ∪ {u});
+        # every LARGER neighbor v rewires to (v, m). v > u >= m, so output
+        # stays high->low with no self loops.
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")) \
+            .unionByName(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .dropDuplicates(["hi", "lo"])
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # per node u over its SMALLER neighbors N≤: m = min(N≤ ∪ {u});
+        # every w in N≤ ∪ {u} except m itself links to m.
+        mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        relink = (
+            e.join(mins, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        self_link = mins.select(F.col("hi"), F.col("m").alias("lo"))
+        return relink.unionByName(self_link).dropDuplicates(["hi", "lo"])
+
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        # converged when the round was a fixed point of the edge set; the
+        # two counts are the round's only driver scalars (and materialize
+        # the checkpoint they read through)
+        if (new_edges.count() == edges.count()
+                and new_edges.exceptAll(edges).count() == 0):
+            edges = new_edges
+            break
+        edges = new_edges
+    else:
+        warnings.warn(
+            f"connected_components(mode='star'): not converged after "
+            f"max_iter={max_iter} rounds; labels are an upper bound on the "
+            "true components. O(log^2 n) rounds suffice — raise max_iter.",
+            RuntimeWarning, stacklevel=3,
+        )
+    labels = edges.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+    roots = edges.select(F.col("lo").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    # defensive: any input node absent from the converged star edges (e.g.
+    # self-loop-only input) labels itself
+    seen = labels.select("node").unionByName(roots.select("node"))
+    singles = nodes.join(seen, "node", "left_anti") \
+        .withColumn("label", F.col("node"))
+    return (
+        labels.unionByName(roots).unionByName(singles)
+        .dropDuplicates(["node"])
+        .select("node", F.col("label").alias("component"))
+    )
+
+
 def canonical_docs(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     id1_col: str = "id1", id2_col: str = "id2", max_iter: int = 50,
+    mode: str = "minlabel",
 ) -> DataFrame:
     """Assign every document a duplicate-cluster id and elect one canonical
     document per cluster (the minimum id — deterministic). Documents in no
@@ -348,7 +437,7 @@ def canonical_docs(
     is never part of the iteration.
     """
     comp = connected_components(
-        pairs, id1_col=id1_col, id2_col=id2_col, max_iter=max_iter
+        pairs, id1_col=id1_col, id2_col=id2_col, max_iter=max_iter, mode=mode
     )
     d = df.select(F.col(id_col))
     return (
@@ -551,14 +640,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.2)
 
 
-def q_dedup_canonical(spark, sf_dir):
+def q_dedup_canonical(spark, sf_dir, mode: str = "minlabel"):
     """Pair generation (exact n-gram Jaccard) -> connected components ->
     canonical election, end-to-end on the documents table. Fully
     SQL-oracle-able: the DuckDB replica reuses the n-gram pair CTEs and
-    computes components with a recursive min-label CTE."""
+    computes components with a recursive min-label CTE. ``mode='star'``
+    runs the same election through the large-star/small-star algorithm —
+    the SAME oracle gates both (identical components by definition)."""
     docs = _load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.2)
-    return canonical_docs(docs, pairs).orderBy("doc_id")
+    return canonical_docs(docs, pairs, mode=mode).orderBy("doc_id")
 
 
 def q_dedup_incremental(spark, sf_dir):

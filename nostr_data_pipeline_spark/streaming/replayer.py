@@ -113,7 +113,12 @@ class StreamingReplayer:
         compaction is a normal snapshot commit). The trigger reads persisted
         state, so restarts and short availableNow runs can never starve
         folding — cadence drift only changes WHEN folding happens, never the
-        resolved state.
+        resolved state. Sizing (measured, BENCH.md "MoR read amplification"):
+        read-side cost of live deltas is a ~fixed broadcast-resolve overhead,
+        FLAT in commit count until delta BYTES approach the broadcast
+        ceiling — so choose the cadence to bound delta bytes well under
+        ``spark.sql.autoBroadcastJoinThreshold``; 8-16 micro-batch commits
+        is comfortable, and folding belongs off-peak.
 
         ``max_broadcast_keys``: the LWW winner-broadcast ceiling per
         micro-batch (see resolve_lww). ``None`` VOUCHES that every

@@ -167,3 +167,41 @@ def test_canonical_docs_matches_union_find(spark):
         comp = find(d) if d in parent else d
         assert got[d] == (comp, comp == d), f"doc {d}: {got[d]} != {comp}"
     assert any(not c for _, (_, c) in got.items())  # some non-canonical exists
+
+
+def test_cc_star_mode_agrees_and_beats_minlabel_on_chains(spark):
+    """mode='star' (large-star/small-star) must (1) agree with min-label on
+    the fixture graphs, (2) agree on a random graph, and (3) converge on a
+    64-node chain within O(log^2 n) rounds where min-label needs diameter
+    rounds (63) — the adversarial shape the mode exists for."""
+    import random
+    import warnings as W
+
+    from nostr_data_pipeline_spark.operators.dedup import connected_components
+
+    fixture = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id1 long, id2 long",
+    )
+    rng = random.Random(3)
+    rand_edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    rand = spark.createDataFrame(rand_edges, "id1 long, id2 long")
+    for pairs in (fixture, rand):
+        a = {r["node"]: r["component"]
+             for r in connected_components(pairs, mode="minlabel").collect()}
+        b = {r["node"]: r["component"]
+             for r in connected_components(pairs, mode="star").collect()}
+        assert a == b
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id1 long, id2 long",
+    )
+    with W.catch_warnings():
+        W.simplefilter("error")  # any non-convergence warning -> failure
+        got = {r["node"]: r["component"]
+               for r in connected_components(chain, mode="star",
+                                             max_iter=12).collect()}
+    assert got == {i: 0 for i in range(64)}
+    # same budget starves min-label (diameter 63 > 12 rounds): it must SAY so
+    with pytest.warns(RuntimeWarning, match="not converged"):
+        connected_components(chain, mode="minlabel", max_iter=12).collect()

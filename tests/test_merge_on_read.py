@@ -325,3 +325,34 @@ def test_failed_commit_orphans_are_harmless_and_vacuumable(spark, tmp_path):
     assert not os.path.exists(os.path.join(t.path, "data-v00000099"))
     assert not os.path.exists(os.path.join(t.path, "delta-v00000099"))
     assert _state(spark, t) == before
+
+
+def test_mor_broadcast_ceiling_follows_session_threshold(spark, tmp_path):
+    """With mor_broadcast_bytes unset (None), the broadcast-resolve ceiling
+    derives from spark.sql.autoBroadcastJoinThreshold at read time: the one
+    knob the operator already sized to the executors governs this broadcast
+    too. Flipping the conf must flip the plan; results identical."""
+    t = _load(spark, tmp_path)
+    t.merge(spark, _df(spark, BATCH2), merge_mode="mor")
+    assert SnapshotTable.mor_broadcast_bytes is None
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "10MB")  # deltas are tiny -> broadcast resolve
+        plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "LeftSemi" in plan
+        expected = _state(spark, t)
+        spark.conf.set(conf, "-1")  # operator disabled broadcasts entirely
+        plan2 = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" not in plan2  # full hash-partitioned resolve
+        assert _state(spark, t) == expected
+    finally:
+        spark.conf.set(conf, orig)
+    # parse robustness for the conf's size-string forms
+    from nostr_data_pipeline_spark.tables.snapshot_table import _parse_byte_size
+    assert _parse_byte_size("10485760") == 10 << 20
+    assert _parse_byte_size("10MB") == _parse_byte_size("10m") == 10 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("-1") == -1
+    with pytest.raises(ValueError):
+        _parse_byte_size("10xyz")
