@@ -231,7 +231,12 @@ def replay_batch(
         #   reads, no job). One Spark job per micro-batch beyond the
         #   schema-event scan. The caller vouches that a micro-batch's
         #   winner set fits the executors (bounded triggers do).
-        vouched_mor = max_broadcast_keys is None and merge_mode == "mor"
+        # only the maxseq family attaches the input observation inside
+        # resolve_lww — vouching with agg/salted_window would block forever
+        # on an Observation that never fires, so those modes keep the
+        # counted fallback path
+        vouched_mor = (max_broadcast_keys is None and merge_mode == "mor"
+                       and lww_mode in ("maxseq", "maxseq_shuffle"))
         obs_in = None
         if vouched_mor:
             from pyspark.sql import Observation

@@ -273,3 +273,40 @@ def test_null_key_rows_surfaced_not_silent(spark, tmp_path):
     assert m2["rows_nullkey_dropped"] == 1
     t2.fold_deltas(spark)
     assert t2.read(spark).count() == 2
+
+
+def test_vouched_request_with_non_maxseq_mode_falls_back(spark, tmp_path):
+    """Only the maxseq family wires ``input_observation`` into the plan
+    (cdc/lww.py); a vouched call (ceiling=None + mor) under 'agg' or
+    'salted_window' must therefore take the counted fallback path — the
+    Observation would never fire and reading it would block forever."""
+    import pandas as pd
+
+    from nostr_data_pipeline_spark.cdc.replayer import (
+        LOG_SCHEMA, TARGET_BASE_SCHEMA, replay_batch,
+    )
+
+    rows = pd.DataFrame({
+        "event_id": ["e1", "e2", "e3"],
+        "seq": pd.array([1, 2, 3], dtype="int64"),
+        "op": ["upsert"] * 3,
+        "repo": ["r1", "r2", "r1"],
+        "path": ["a", "b", "a"],
+        "ts": pd.to_datetime(["2024-01-01"] * 3),
+        "commit": ["c"] * 3, "lang": ["py"] * 3,
+        "content": ["x", "y", "z"],
+        "extra_json": [None] * 3,
+        "sc_col_name": [None] * 3, "sc_col_type": [None] * 3,
+    })
+    batch = spark.createDataFrame(rows, LOG_SCHEMA)
+
+    for i, mode in enumerate(("agg", "salted_window")):
+        t = SnapshotTable(str(tmp_path / f"t{mode}"), num_buckets=4)
+        t.create(TARGET_BASE_SCHEMA)
+        m = replay_batch(spark, t, batch, "s", 0, lww_mode=mode,
+                         merge_mode="mor", max_broadcast_keys=None)
+        assert m["rows_resolved"] == 2 and m["rows_seen"] == 3
+        t.fold_deltas(spark)
+        got = {(r["repo"], r["path"]): r["content"]
+               for r in t.read(spark).collect()}
+        assert got == {("r1", "a"): "z", ("r2", "b"): "y"}
