@@ -128,6 +128,14 @@ def resolve_lww(
                 F.count(F.lit(1)).alias("rows_total"),
                 F.sum(F.when(null_row, 1).otherwise(0)).alias("rows_nullkey"),
             )
+            if stats is not None:
+                # the caller's contract marker: the observation IS in the
+                # plan and will fire with the first action that evaluates
+                # the aggregation branch. Modes that never attach it (agg /
+                # salted_window ignore input_observation) leave this unset —
+                # callers MUST fall back to counting rather than block on
+                # Observation.get (see cdc/replayer.py's vouched path).
+                stats["input_observed"] = True
         winners = agg_in.groupBy(*key_cols).agg(*aggs)
         # The guard count is an EAGER batch action, so it cannot run on an
         # unbounded streaming frame (count() would raise) — a streaming

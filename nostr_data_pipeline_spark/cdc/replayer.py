@@ -231,14 +231,14 @@ def replay_batch(
         #   reads, no job). One Spark job per micro-batch beyond the
         #   schema-event scan. The caller vouches that a micro-batch's
         #   winner set fits the executors (bounded triggers do).
-        # only the maxseq family attaches the input observation inside
-        # resolve_lww — vouching with agg/salted_window would block forever
-        # on an Observation that never fires, so those modes keep the
-        # counted fallback path
-        vouched_mor = (max_broadcast_keys is None and merge_mode == "mor"
-                       and lww_mode in ("maxseq", "maxseq_shuffle"))
+        # whether a given lww mode actually wires the observation into the
+        # plan is resolve_lww's knowledge, not ours: offer it the
+        # observation and let stats['input_observed'] report back — a mode
+        # that ignores it (agg / salted_window) keeps the counted fallback
+        # path below instead of blocking forever on Observation.get
+        want_vouch = max_broadcast_keys is None and merge_mode == "mor"
         obs_in = None
-        if vouched_mor:
+        if want_vouch:
             from pyspark.sql import Observation
             import uuid as _uuid
             obs_in = Observation(f"lww-in-{_uuid.uuid4().hex[:8]}")
@@ -246,9 +246,10 @@ def replay_batch(
         resolved = prepare_batch(data, table, lww_mode=lww_mode, salt=salt,
                                  max_broadcast_keys=max_broadcast_keys,
                                  stats=lww_stats,
-                                 group_expr=(None if vouched_mor
+                                 group_expr=(None if want_vouch
                                              else table.bucket_expr()),
                                  input_observation=obs_in)
+        vouched_mor = want_vouch and lww_stats.get("input_observed", False)
         # Guarded path: the resolved batch feeds multiple consumers (bucket
         # pruning and the merge join) — cache it so LWW runs once per batch.
         # Vouched MoR path: exactly ONE consumer (the delta write); caching

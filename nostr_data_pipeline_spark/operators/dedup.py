@@ -415,8 +415,14 @@ def _cc_star(pairs: DataFrame, id1_col: str, id2_col: str,
         .withColumn("label", F.col("node"))
     return (
         labels.unionByName(roots).unionByName(singles)
-        .dropDuplicates(["node"])
-        .select("node", F.col("label").alias("component"))
+        # at convergence every node has exactly one row (stars are disjoint:
+        # a hi node cannot also be a center), so the min-agg is a no-op; on
+        # max_iter exhaustion a node CAN appear both as a hi (with some
+        # label m) and as a center (labeling itself) — take the smaller,
+        # DETERMINISTIC label rather than an arbitrary row, so the
+        # non-converged upper bound is at least stable run-to-run
+        .groupBy("node").agg(F.min("label").alias("component"))
+        .select("node", "component")
     )
 
 

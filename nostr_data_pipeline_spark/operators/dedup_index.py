@@ -263,8 +263,14 @@ class MinHashIndex:
             ]
             if len(probe) <= self.max_bucket_probe:
                 hit = self.bands_table.buckets_for_values(spark, probe)
+                # two pruning levels: bucket (the probe pairs hash to the
+                # only buckets a collision can live in) then file — within a
+                # hit bucket, a file whose recorded (band, bandhash, doc_id)
+                # key range excludes every probe (band, bandhash) PREFIX is
+                # skipped before the scan is planned
                 idx_scan = self.bands_table.read(spark, seq_col="seq",
-                                                 buckets=hit)
+                                                 buckets=hit,
+                                                 key_prefixes=probe)
             else:
                 idx_scan = self.bands_table.read(spark, seq_col="seq")
             idx_bands = idx_scan.select(

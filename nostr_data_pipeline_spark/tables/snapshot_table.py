@@ -611,7 +611,8 @@ class SnapshotTable:
              seq_col: str = "last_seq", version: int | None = None,
              buckets: list[int] | None = None,
              files: list[str] | None = None,
-             where: str | None = None) -> DataFrame:
+             where: str | None = None,
+             key_prefixes: list[tuple] | None = None) -> DataFrame:
         """Read a snapshot. ``version`` time-travels to an older manifest
         (manifests are immutable; ``vacuum`` bounds how far back the data
         directories still exist — default keeps the newest 2 versions; a
@@ -631,8 +632,17 @@ class SnapshotTable:
         could resurrect a stale base row — with live deltas the filter
         still applies, only the file-level skip is off (compact() restores
         it). The predicate may reference virtual evolved columns (it runs
-        after projection); only physical stats columns contribute to
-        pruning."""
+        after projection); only physical NON-shadowed stats columns
+        contribute to pruning.
+
+        ``key_prefixes``: a list of key-PREFIX tuples — files whose recorded
+        full-key range cannot contain any key starting with one of them are
+        skipped (``prune_files_by_key_prefix``; lexicographic-order sound,
+        and safe under live deltas: a pruned file contains NO key with a
+        probed prefix, so resolution of the probed keys is unaffected).
+        This is the probe shape of a prefix-bucketed index (the caller
+        knows the bucket-column values but not the full keys); NOTE it
+        prunes files only — the caller still filters rows."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         deltas = self._deltas_of(m)
@@ -646,6 +656,8 @@ class SnapshotTable:
             files = [f for b in buckets for f in m["buckets"].get(str(b), [])] + [
                 f for b in buckets for f in deltas.get(str(b), [])
             ]
+        if key_prefixes:
+            files = self.prune_files_by_key_prefix(m, files, key_prefixes)
         # time-travel reads verify their files exist (vacuum is file-granular;
         # a clear error beats a mid-scan PATH_NOT_FOUND). Current-version
         # reads skip the check — vacuum never removes currently-referenced
@@ -673,6 +685,12 @@ class SnapshotTable:
         else:
             if where is not None:
                 ranges = self._extract_col_ranges(spark, where, schema)
+                # a column shadowed by an evolved virtual projection reads
+                # its value from the payload parse (or a coalesce with the
+                # physical), so the PHYSICAL per-file bounds do not bound
+                # what the filter will see — never prune on such a column
+                for c in m.get("evolved", {}):
+                    ranges.pop(c, None)
                 if ranges:
                     stats_map = m.get("file_stats", {})
                     files = [
@@ -1672,7 +1690,13 @@ class SnapshotTable:
                    "buckets_rewritten": len(affected),
                    "files_scanned": len(cand),
                    "files_rewritten": len(files),
-                   "files_carried": len(all_files) - len(cand) + n_carried}
+                   # carried = everything not rewritten: pruned files of
+                   # non-affected buckets, scanned-but-clean files of
+                   # non-affected buckets, and the pruned siblings inside
+                   # affected buckets (n_carried is a subset, kept for the
+                   # per-bucket trace)
+                   "files_carried": len(all_files) - len(files),
+                   "files_carried_in_rewritten_buckets": n_carried}
         self._commit({**m, "version": new_version, "buckets": new_buckets,
                       "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
                       "metrics": metrics})
@@ -1887,7 +1911,7 @@ def _parse_byte_size(raw: Any) -> int:
     s = str(raw).strip().lower()
     units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
              "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
-             "t": 1 << 40, "tb": 1 << 40}
+             "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
     i = len(s)
     while i > 0 and not (s[i - 1].isdigit() or s[i - 1] == "-"):
         i -= 1

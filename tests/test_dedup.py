@@ -205,3 +205,25 @@ def test_cc_star_mode_agrees_and_beats_minlabel_on_chains(spark):
     # same budget starves min-label (diameter 63 > 12 rounds): it must SAY so
     with pytest.warns(RuntimeWarning, match="not converged"):
         connected_components(chain, mode="minlabel", max_iter=12).collect()
+
+
+def test_cc_star_exhaustion_labels_are_deterministic(spark):
+    """On max_iter exhaustion the star labeling must still emit exactly ONE
+    deterministic row per node (min label across the node's star roles) —
+    an arbitrary pick would fracture downstream canonical election
+    differently run to run."""
+    from nostr_data_pipeline_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id1 long, id2 long",
+    )
+    outs = []
+    for _ in range(2):
+        with pytest.warns(RuntimeWarning, match="not converged"):
+            df = connected_components(chain, mode="star", max_iter=1)
+            rows = df.collect()
+        assert len(rows) == 41 == len({r["node"] for r in rows})
+        # every label is a valid coarsening: label <= node
+        assert all(r["component"] <= r["node"] for r in rows)
+        outs.append({r["node"]: r["component"] for r in rows})
+    assert outs[0] == outs[1]

@@ -422,3 +422,91 @@ def test_nonkey_stats_skip_mor_deltas_on_read(spark, tmp_path):
     # p0001's winner is the NEW delta row -> excluded; old base row must NOT
     # resurface through pruning
     assert got == sorted(f"p{i:04d}" for i in range(20) if i != 1)
+
+
+def test_evolved_shadowed_stats_column_never_prunes(spark, tmp_path):
+    """A schema_change can evolve a column whose NAME shadows a physical
+    stats column (replay applies evolve_column verbatim). The read-time
+    projection then serves the payload-parsed value, so the PHYSICAL
+    per-file bounds no longer bound what the filter sees — read(where=)
+    must not prune on that column."""
+    import datetime as dt
+
+    schema = T.StructType(TS_SCHEMA.fields + [
+        T.StructField("extra_json", T.StringType())
+    ])
+    old = dt.datetime(2024, 1, 1)
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=1, target_file_rows=10)
+    t.create(schema)
+    rows = [("r", f"p{i:04d}", f"v-{i}", 1, f"e1-{i}", old,
+             '{"updated_ts": "2030-06-01 00:00:00"}') for i in range(20)]
+    t.merge(spark, spark.createDataFrame(rows, schema))
+    # physical bounds are all-2024; the evolved projection yields 2030
+    t.evolve_column("updated_ts", "timestamp", add_seq=0)
+    w = "updated_ts >= TIMESTAMP '2029-01-01 00:00:00'"
+    got = t.read(spark, where=w)
+    assert got.count() == 20  # pre-fix: physical-bounds pruning returned 0
+    # and the projected value really is the payload one
+    assert got.select(F.min("updated_ts")).first()[0].year == 2030
+    # an UNshadowed stats column still prunes alongside
+    assert t.read(spark, where="last_seq >= 99").count() == 0
+
+
+def test_delete_where_files_carried_counts_each_file_once(spark, tmp_path):
+    """files_carried must equal total files minus rewritten files — the
+    pruned siblings inside rewritten buckets must not be counted twice."""
+    import datetime as dt
+
+    old = dt.datetime(2024, 1, 1)
+    new = dt.datetime(2024, 6, 1)
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=2, target_file_rows=10)
+    t.create(TS_SCHEMA)
+    bulk = [("r", f"p{i:04d}", f"v-{i}", 1, f"e1-{i}", old) for i in range(40)]
+    t.merge(spark, spark.createDataFrame(bulk, TS_SCHEMA))
+    t.merge(spark, spark.createDataFrame(
+        [("r", "p0000", "hot", 100, "e100-0", new),
+         ("r", "p0039", "hot", 100, "e100-39", new)], TS_SCHEMA))
+    m = t.manifest()
+    total = sum(len(fs) for fs in m["buckets"].values())
+    res = t.delete_where(spark, "updated_ts >= TIMESTAMP '2024-03-01 00:00:00'")
+    assert res["rows_deleted"] == 2
+    assert res["files_carried"] == total - res["files_rewritten"]
+    assert res["files_carried_in_rewritten_buckets"] <= res["files_carried"]
+
+
+def test_parse_byte_size_accepts_petabytes(spark, tmp_path):
+    from nostr_data_pipeline_spark.tables.snapshot_table import _parse_byte_size
+
+    assert _parse_byte_size("1p") == 1 << 50
+    assert _parse_byte_size("2pb") == 2 << 50
+    with pytest.raises(ValueError):
+        _parse_byte_size("1q")
+    # a Spark-valid threshold must never crash the MoR ceiling lookup
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1p")
+    try:
+        assert t._mor_broadcast_ceiling(spark) == 1 << 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_read_key_prefix_pruning(spark, tmp_path):
+    """read(key_prefixes=) must open strictly fewer files than the bucket
+    selection alone (file-level prefix pruning) while returning every row
+    of the probed prefixes — the index-probe shape of MinHashIndex.check."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=1, target_file_rows=10,
+                      key_cols=("repo", "path"))
+    t.create(SCHEMA)
+    rows = [(f"r{g}", f"p{i:02d}", f"v-{g}-{i}", 1, f"e-{g}-{i}")
+            for g in range(4) for i in range(10)]
+    t.merge(spark, spark.createDataFrame(rows, SCHEMA))
+    m = t.manifest()
+    files = m["buckets"]["0"]
+    assert len(files) == 4  # 40 rows key-sorted into 10-row files
+    full = t.read(spark)
+    pruned = t.read(spark, key_prefixes=[("r2",)])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted(r["path"] for r in pruned.filter("repo = 'r2'").collect())
+    exp = sorted(r["path"] for r in full.filter("repo = 'r2'").collect())
+    assert got == exp and len(got) == 10
