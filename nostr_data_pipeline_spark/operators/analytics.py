@@ -727,6 +727,61 @@ ORDER BY f.doc_id
 """
 
 
+def deterministic_split(df, id_col: str = "doc_id",
+                        val_threshold_hex: str = "40000000"):
+    """Stable train/validation assignment by CONTENT-INDEPENDENT id hash —
+    the split primitive a training-data pipeline needs (the reference has
+    no notion of dataset splits; this is a beyond-reference operator like
+    the dedup family). A doc's split depends only on its id, so (1) the
+    assignment never changes as the corpus grows or re-partitions — no val
+    contamination across pipeline runs — and (2) it needs NO shuffle,
+    sample() state, or RNG seed plumbing: a pure column expression the
+    scan evaluates in codegen.
+
+    Mechanics: the first 8 hex chars of md5(id) are uniform over
+    [0, 2^32); fixed-width LOWERCASE hex compares lexicographically
+    exactly as it does numerically, so a string comparison against the
+    threshold avoids any hex->int conversion (portable to every engine
+    with md5 — the DuckDB oracle runs the identical expression).
+    '40000000' = 0.25; '1999999a' ~= 0.1."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(val_threshold_hex), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def corpus_split(spark, sf_dir):
+    """Per-document deterministic split assignment + per-split aggregate
+    (doc count and token volume — the numbers a training run budgets by)."""
+    d = load(spark, sf_dir, "documents")
+    s = deterministic_split(d)
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+CORPUS_SPLIT_SQL = r"""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens,
+       min(doc_id) AS first_doc
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""
+
+
 def token_counts(spark, sf_dir):
     """Token counting (whitespace tokenizer) per document."""
     d = load(spark, sf_dir, "documents")
@@ -1491,6 +1546,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # (tests/test_dedup_index.py)
     "dedup_incremental": (_q_dedup_incremental, None),
     "corpus_prepare": (corpus_prepare, CORPUS_PREPARE_SQL),
+    "corpus_split": (corpus_split, CORPUS_SPLIT_SQL),
     "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),
     "a15_rollup": (a15_rollup, A15_SQL),
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),

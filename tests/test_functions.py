@@ -273,3 +273,24 @@ def test_bolt11_overflow_yields_null_not_crash(spark):
     ).first()
     assert vals["a"] is None and vals["b"] is None
     assert vals["ok"] == 100_000_000
+
+
+def test_deterministic_split_is_subset_stable(spark):
+    """A doc's train/val assignment depends only on its id: splitting any
+    SUBSET of the corpus (growth, repartition, re-run) yields the identical
+    per-doc assignment — the no-contamination guarantee random sample()
+    splits cannot give."""
+    from nostr_data_pipeline_spark.operators.analytics import (
+        deterministic_split,
+    )
+
+    full = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    sub = full.filter("doc_id % 3 = 0").repartition(7)
+    a = {r["doc_id"]: r["split"]
+         for r in deterministic_split(full).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in deterministic_split(sub).collect()}
+    assert b == {k: v for k, v in a.items() if k % 3 == 0}
+    # both classes are populated at this size and the val share is ~0.25
+    n_val = sum(1 for v in a.values() if v == "val")
+    assert 150 < n_val < 350
