@@ -146,6 +146,62 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
     )
 
 
+def _footer_proves_no_schema_events(uri: str) -> bool:
+    """True iff the parquet file's FOOTER proves it contains zero
+    op='schema_change' rows: ``sc_col_name`` is non-null exactly on those
+    rows, so every row group recording null_count == num_values for that
+    column has none. Driver-side metadata read, no Spark job. Any doubt
+    (unreadable footer, column missing, stats absent) returns False — the
+    caller then falls back to the scan, so this can only SKIP work when
+    provably safe."""
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote, urlparse
+
+    path = unquote(urlparse(uri).path) or uri
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return False
+    try:
+        ci = [md.schema.column(i).name for i in range(md.num_columns)
+              ].index("sc_col_name")
+    except ValueError:
+        return False
+    for rg in range(md.num_row_groups):
+        col = md.row_group(rg).column(ci)
+        st = col.statistics
+        if st is None or not st.has_null_count:
+            return False
+        if st.null_count != col.num_values:
+            return False
+    return True
+
+
+def collect_schema_events(batch: DataFrame) -> list:
+    """The batch's schema_change rows. Schema events are RARE (a handful
+    per 10^10-event log), so the hot path proves their ABSENCE from the
+    batch files' parquet footers alone and skips the per-batch scan job
+    entirely — on the vouched MoR trickle path this leaves the delta write
+    as the micro-batch's ONLY job. Sound in every dedup mode: the scanned
+    files are a superset of the batch's rows, so zero schema rows in the
+    files implies zero in the batch. Non-file sources (Kafka/socket),
+    non-parquet paths, or footers without null counts fall back to the
+    narrow pushed-down scan (4 columns, payload never read)."""
+    try:
+        files = batch.inputFiles()
+    except Exception:
+        files = []
+    if files and all(f.endswith(".parquet") for f in files) and all(
+        _footer_proves_no_schema_events(f) for f in files
+    ):
+        return []
+    return (
+        batch.filter(F.col("op") == "schema_change")
+        .select("seq", "sc_col_name", "sc_col_type")
+        .collect()
+    )
+
+
 def replay_batch(
     spark: SparkSession,
     table: SnapshotTable,
@@ -195,20 +251,18 @@ def replay_batch(
     if cache_batch:
         batch = batch.persist()
     try:
-        # schema_change rows are rare and tiny — collect ONLY them, in one
-        # narrow pushed-down scan (4 columns; the content payload is never
-        # read). The whole-batch row count no longer needs its own pass: it
-        # rides the LWW guard job below (sum of per-key counts). Evolution
-        # is ORDER-INDEPENDENT (virtual columns guarded by add_seq, see
+        # schema_change rows are rare and tiny — the footer fast path skips
+        # even the scan when the batch files provably hold none (see
+        # collect_schema_events); otherwise one narrow pushed-down scan
+        # (4 columns; the content payload is never read). The whole-batch
+        # row count no longer needs its own pass: it rides the LWW guard
+        # job below (sum of per-key counts). Evolution is ORDER-INDEPENDENT
+        # (virtual columns guarded by add_seq, see
         # SnapshotTable.evolve_column), so no seq-epoch splitting is needed:
         # apply the metadata commits, then merge the whole batch at once.
-        # In the streaming stateful path this is also the single action
-        # that materializes the persisted micro-batch.
-        sc = (
-            batch.filter(F.col("op") == "schema_change")
-            .select("seq", "sc_col_name", "sc_col_type")
-            .collect()
-        )
+        # (A persisted streaming micro-batch is materialized by whichever
+        # action runs first — this collect when it runs, else the merge.)
+        sc = collect_schema_events(batch)
         for r in sorted(sc, key=lambda r: r["seq"]):
             table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
 

@@ -310,3 +310,55 @@ def test_vouched_request_with_non_maxseq_mode_falls_back(spark, tmp_path):
         got = {(r["repo"], r["path"]): r["content"]
                for r in t.read(spark).collect()}
         assert got == {("r1", "a"): "z", ("r2", "b"): "y"}
+
+
+def test_schema_event_footer_fast_path(spark, tmp_path):
+    """A batch whose parquet footers prove sc_col_name is all-null must
+    yield [] from collect_schema_events WITHOUT any scan job; a file with
+    a real schema_change row defeats the proof and the fallback scan finds
+    it. Soundness: the proof can only skip, never miss."""
+    import pandas as pd
+
+    from nostr_data_pipeline_spark.cdc.replayer import (
+        LOG_SCHEMA, _footer_proves_no_schema_events, collect_schema_events,
+    )
+
+    def _log_df(with_sc):
+        rows = pd.DataFrame({
+            "event_id": ["e1", "sc1"],
+            "seq": pd.array([1, 2], dtype="int64"),
+            "op": ["upsert", "schema_change" if with_sc else "upsert"],
+            "repo": ["r1", "_schema"],
+            "path": ["a", ""],
+            "ts": pd.to_datetime(["2024-01-01"] * 2),
+            "commit": ["c", None], "lang": ["py", None],
+            "content": ["x", None],
+            "extra_json": [None, None],
+            "sc_col_name": [None, "stars" if with_sc else None],
+            "sc_col_type": [None, "long" if with_sc else None],
+        })
+        return spark.createDataFrame(rows, LOG_SCHEMA)
+
+    clean_dir = str(tmp_path / "clean")
+    sc_dir = str(tmp_path / "sc")
+    _log_df(False).coalesce(1).write.parquet(clean_dir)
+    _log_df(True).coalesce(1).write.parquet(sc_dir)
+
+    clean = spark.read.schema(LOG_SCHEMA).parquet(clean_dir)
+    for f in clean.inputFiles():
+        assert _footer_proves_no_schema_events(f)
+    # the fast path must not touch the executors: poison the scan
+    poisoned = clean.filter
+    try:
+        clean.filter = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("fast path ran a scan"))
+        assert collect_schema_events(clean) == []
+    finally:
+        clean.filter = poisoned
+
+    dirty = spark.read.schema(LOG_SCHEMA).parquet(sc_dir)
+    assert not all(_footer_proves_no_schema_events(f)
+                   for f in dirty.inputFiles())
+    got = collect_schema_events(dirty)
+    assert [(r["sc_col_name"], r["sc_col_type"]) for r in got] == [
+        ("stars", "long")]
