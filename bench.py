@@ -113,6 +113,10 @@ def main() -> None:
         "sim_cosine_topk", "m1_virality_score",
         "dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_lsh_topk",
         "corpus_prepare", "dedup_incremental",
+        # round 4: graduated to oracled QUERIES entries (md5 hash mode —
+        # the timing now covers the oracle-portable contract form; the
+        # xxhash64 production mode is strictly cheaper per hash)
+        "dedup_minhash_lsh", "dedup_simhash",
     ]
     # untimed warm-up: JVM codegen + python workers (not any query's cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000).count()

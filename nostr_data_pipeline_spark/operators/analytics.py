@@ -1193,6 +1193,127 @@ ORDER BY d.doc_id
 """
 
 
+_MD5_HASH_SQL = "cast(concat('0x', substr(md5({x}), 2, 15)) as ubigint)::bigint"
+
+
+def _minhash_md5_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
+                     threshold: float = 0.3) -> str:
+    """DuckDB replica of minhash_near_duplicates(hash_fn='md5'): the same
+    60-bit md5-slice hash (dedup.hash64) on both engines makes signatures,
+    band hashes, LSH candidates and verified Jaccard all value-identical —
+    the pipeline runs under the full hash-match gate, not rows-only.
+    Shingle CTEs mirror NGRAM_JACCARD_SQL (proven equivalent to
+    shingles_of_tokens); per-seed hashes derive from ONE md5 per shingle by
+    double hashing (b1 + i*b2 — see the md5 branch in
+    minhash_near_duplicates); band hashes digest 'B{b}:' + comma-joined
+    decimal signature values, verbatim what dedup._band_hash feeds
+    Spark's md5."""
+    rows = num_hashes // bands
+    hcols = ",\n         ".join(
+        f"min(b1 + {h}*b2) AS h{h}" for h in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {bh} AS bh FROM h".format(
+            b=b,
+            bh=_MD5_HASH_SQL.format(
+                x="concat('B{b}:', {cat})".format(
+                    b=b,
+                    cat=" , ',' , ".join(
+                        f"h{b * rows + i}::varchar" for i in range(rows)
+                    ),
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    jac = ("round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+           " / len(list_distinct(list_concat(s1.sh, s2.sh))), 4)")
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+{n - 1}], ' ')
+                        FOR i IN range(1, greatest(len(tk)-{n - 1}, 1)+1)]) AS sh
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+), hb AS (
+  SELECT doc_id,
+         cast(concat('0x', substr(md5(g), 2, 15)) as ubigint)::bigint AS b1,
+         cast(concat('0x', substr(md5(g), 17, 14)) as ubigint)::bigint AS b2
+  FROM e
+), h AS (
+  SELECT doc_id,
+         {hcols}
+  FROM hb GROUP BY doc_id
+), b AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM b l JOIN b r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT id1, id2, {jac} AS jaccard
+FROM cand JOIN s s1 ON s1.doc_id = id1 JOIN s s2 ON s2.doc_id = id2
+WHERE {jac} >= {threshold}
+ORDER BY jaccard DESC, id1, id2
+"""
+
+
+def _simhash_md5_sql(chunk_bits: int = 15, n_chunks: int = 4,
+                     max_hamming: int = 3) -> str:
+    """DuckDB replica of simhash_near_duplicates(hash_fn='md5',
+    chunk_bits=15): identical 60-bit token hashes -> identical bit votes ->
+    identical fingerprints; pigeonhole chunk blocking and the full-
+    fingerprint hamming filter reproduce the Spark plan's semantics row for
+    row (output is chunking-independent, see simhash_near_duplicates)."""
+    bits = chunk_bits * n_chunks
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    chunks = ",\n         ".join(
+        "(" + " + ".join(
+            f"CASE WHEN v{c * chunk_bits + b} > 0 THEN {2 ** b} ELSE 0 END"
+            for b in range(chunk_bits)
+        ) + f") AS chunk{c}"
+        for c in range(n_chunks)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(l.chunk{c}::bigint, r.chunk{c}::bigint))"
+        for c in range(n_chunks)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, "
+        + ", ".join(f"chunk{k}" for k in range(n_chunks))
+        + f", {c} AS band, chunk{c} AS bh FROM f"
+        for c in range(n_chunks)
+    )
+    tok_hash = _MD5_HASH_SQL.format(x="unnest(tk)")
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tk
+  FROM documents
+), e AS (
+  SELECT doc_id, {tok_hash} AS h FROM t
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM e GROUP BY doc_id
+), f AS (
+  SELECT doc_id,
+         {chunks}
+  FROM v
+), b AS (
+{band_selects}
+)
+SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, ({ham})::int AS hamming
+FROM b l JOIN b r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+WHERE ({ham}) <= {max_hamming}
+ORDER BY hamming, id1, id2
+"""
+
+
 def _emb_dedup_sql() -> str:
     """DuckDB replica of embedding_near_duplicates(threshold=0.5): the
     deterministic hyperplanes (seeded numpy) are inlined as list literals so
@@ -1309,6 +1430,18 @@ def _q_ngram_jaccard(spark, sf_dir):
     from nostr_data_pipeline_spark.operators.dedup import q_ngram_jaccard
 
     return q_ngram_jaccard(spark, sf_dir)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.dedup import q_dedup_minhash_lsh
+
+    return q_dedup_minhash_lsh(spark, sf_dir)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.dedup import q_dedup_simhash
+
+    return q_dedup_simhash(spark, sf_dir)
 
 
 def _q_dedup_canonical(spark, sf_dir):
@@ -1540,6 +1673,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "m2_trend_score": (m2_trend_score, M2_SQL),
     "a2_approx_variants": (a2_approx_variants, None),  # sketch ops: rows-only
     "dedup_ngram_jaccard": (_q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    # graduated from rows-only in round 4: the contract entries run
+    # dedup.hash64's oracle-portable md5 mode (production default stays
+    # xxhash64 — see the q_ docstrings)
+    "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _minhash_md5_sql()),
+    "dedup_simhash": (_q_dedup_simhash, _simhash_md5_sql()),
     "dedup_canonical": (_q_dedup_canonical, DEDUP_CANONICAL_SQL),
     "dedup_canonical_star": (_q_dedup_canonical_star, DEDUP_CANONICAL_SQL),
     # deterministic but xxhash64-based: rows-only, replica-verified

@@ -97,6 +97,47 @@ def shingles(text_col, n: int = 3) -> F.Column:
     )[0]
 
 
+def hash64(col, seed: int | None = None, hash_fn: str = "xxhash64") -> F.Column:
+    """64-bit hash column, in one of two modes:
+
+    - ``'xxhash64'`` (default, the production path): Spark's JVM-intrinsic
+      xxHash64 over raw bytes — fastest, but NOT reproducible in DuckDB, so
+      pipelines built on it verify via independent Python replicas
+      (tests/test_dedup_fixtures.py) instead of the SQL oracle gate.
+    - ``'md5'`` (the ORACLE-PORTABLE mode): a 60-bit slice of the md5 hex
+      digest, chars 2-16 parsed base-16. DuckDB computes the IDENTICAL
+      value — ``cast(concat('0x', substr(md5(x), 2, 15)) as
+      ubigint)::bigint`` — which is what lets the MinHash-LSH and SimHash
+      contract queries run under the full DuckDB value-hash gate. Both
+      sides stay in whole-stage codegen; md5's digest+hex+conv chain costs
+      ~2-3x xxhash64 per call, a minority cost next to the pipelines'
+      shuffles. 60 bits (not 64) keeps the value strictly inside int64 so
+      neither engine's ANSI cast can overflow.
+
+    Seeded md5 form prepends ``'{seed}:'`` to the input, mirroring
+    xxhash64's leading seed argument.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col) if seed is None else F.xxhash64(F.lit(seed), col)
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
+    s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s), 2, 15), 16, 10).cast("long")
+
+
+def _band_hash(band: int, cols: list, hash_fn: str) -> F.Column:
+    """Hash of one LSH band's signature slice. md5 mode feeds the digest a
+    canonical string — 'B{band}:' + comma-joined decimal values — which the
+    oracle SQL reproduces verbatim."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(band), *cols)
+    return hash64(
+        F.concat(F.lit(f"B{band}:"),
+                 F.concat_ws(",", *[c.cast("string") for c in cols])),
+        hash_fn="md5",
+    )
+
+
 def minhash_signature(shingle_col, num_hashes: int = 32) -> F.Column:
     """array<long> of num_hashes min-hashes; seed mixed via xxhash64(seed, s).
 
@@ -122,10 +163,18 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id1, id2, jaccard) pairs with estimated-then-verified Jaccard >=
     threshold. LSH: split the signature into `bands` bands of
-    num_hashes/bands rows; a pair is a candidate iff some band hashes equal."""
+    num_hashes/bands rows; a pair is a candidate iff some band hashes equal.
+
+    ``hash_fn='md5'`` switches every hash to the oracle-portable 60-bit md5
+    slice (see hash64) so the whole pipeline is reproducible in DuckDB SQL
+    — the contract query runs in this mode under the full value-hash gate.
+    Different hash -> different LSH candidate sets, but every emitted pair
+    is verified against the EXACT shingle Jaccard either way, so both modes
+    return true >=threshold pairs; only the approximate recall differs."""
     if bands <= 0 or num_hashes % bands != 0:
         # bands > num_hashes would make every band hash a CONSTANT (zero
         # rows per band) — every pair collides and the join degenerates to
@@ -149,9 +198,26 @@ def minhash_near_duplicates(
     # minhash_signature() builds an expression tree too large for codegen and
     # falls back to interpreted eval — measured ~10x slower.)
     exploded = base.select("_id", F.explode("_sh").alias("_s"))
-    hashed = exploded.select(
-        "_id", *[F.xxhash64(F.lit(h), F.col("_s")).alias(f"_h{h}") for h in range(num_hashes)]
-    )
+    if hash_fn == "md5":
+        # ONE md5 per shingle, k seeds by double hashing (Kirsch-
+        # Mitzenmacher): g_i = b1 + i*b2 with b1 = 60-bit digest slice
+        # (chars 2-16) and b2 = 56-bit slice (chars 17-30). Max value
+        # (2^60-1) + 31*(2^56-1) < 2^62 — exact int64 arithmetic in BOTH
+        # engines, no overflow under ANSI mode. 32 independent md5 calls
+        # per shingle measured 2x the whole operator's wall at sf0.1; this
+        # derivation is hash-cost-parity with the xxhash64 path.
+        digest = F.md5(F.col("_s"))
+        b1 = F.conv(F.substring(digest, 2, 15), 16, 10).cast("long")
+        b2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long")
+        hashed = exploded.select(
+            "_id", *[(b1 + F.lit(h) * b2).alias(f"_h{h}")
+                     for h in range(num_hashes)]
+        )
+    else:
+        hashed = exploded.select(
+            "_id", *[hash64(F.col("_s"), seed=h, hash_fn=hash_fn).alias(f"_h{h}")
+                     for h in range(num_hashes)]
+        )
     sig = hashed.groupBy("_id").agg(
         *[F.min(f"_h{h}").alias(f"_h{h}") for h in range(num_hashes)]
     )
@@ -163,7 +229,8 @@ def minhash_near_duplicates(
         "_id",
         F.posexplode(
             F.array(*[
-                F.xxhash64(F.lit(b), *[F.col(f"_h{b * rows + i}") for i in range(rows)])
+                _band_hash(b, [F.col(f"_h{b * rows + i}") for i in range(rows)],
+                           hash_fn)
                 for b in range(bands)
             ])
         ).alias("_band", "_bhash"),
@@ -490,16 +557,21 @@ def simhash_chunks(text_col, chunk_bits: int = 16, n_chunks: int = 4) -> list[F.
 
 def simhash_fingerprint(
     df: DataFrame, id_col: str, text_col: str,
-    chunk_bits: int = 16, n_chunks: int = 4,
+    chunk_bits: int = 16, n_chunks: int = 4, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(_id, chunk0..chunk3) via explode + 64 primitive sum-aggregates — a
-    whole-stage-codegen HashAggregate (one pass over tokens), unlike
-    simhash_chunks' 64 aggregate() traversals per row (kept as the
-    single-column expression form for inline use on small data)."""
+    """(_id, chunk0..chunk{n-1}) via explode + chunk_bits*n_chunks primitive
+    sum-aggregates — a whole-stage-codegen HashAggregate (one pass over
+    tokens), unlike simhash_chunks' 64 aggregate() traversals per row (kept
+    as the single-column expression form for inline use on small data).
+
+    ``hash_fn='md5'`` uses the oracle-portable 60-bit token hash (see
+    hash64); pair it with ``chunk_bits=15`` so the fingerprint covers
+    exactly the 60 informative bits (16-bit chunks would carry 4 always-zero
+    top bits — harmless for correctness, wasted for discrimination)."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("_t"),
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", hash64(F.col("_t"), hash_fn=hash_fn))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -519,23 +591,39 @@ def simhash_fingerprint(
 
 def simhash_near_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, chunk_bits: int = 16, n_chunks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id1, id2, hamming) for pairs within max_hamming bits of 64. Candidate
-    iff one 16-bit chunk matches exactly (pigeonhole for hamming<=3)."""
-    # the fingerprint aggregation (token explode + 64 primitive sums) would
+    """(id1, id2, hamming) for pairs within max_hamming bits of the
+    chunk_bits*n_chunks-bit fingerprint. Candidate iff one chunk matches
+    exactly — the pigeonhole guarantee needs n_chunks > max_hamming.
+    The OUTPUT is chunking-independent (every true pair shares >=1 chunk,
+    and hamming is computed over the full fingerprint); chunk layout only
+    shapes the candidate-join cost. ``hash_fn='md5'`` + ``chunk_bits=15``
+    is the oracle-portable mode the contract query runs (see hash64)."""
+    if n_chunks <= max_hamming:
+        # with <= max_hamming chunks a pair can differ in every chunk and
+        # still be within the bound — the pigeonhole blocking would MISS it
+        raise ValueError(
+            f"n_chunks={n_chunks} must exceed max_hamming={max_hamming}"
+        )
+    chunk_names = [f"chunk{c}" for c in range(n_chunks)]
+    # the fingerprint aggregation (token explode + primitive sums) would
     # run once per self-join side; materialize it once (see _CACHE_LEVEL note)
-    base = _persist(simhash_fingerprint(df, id_col, text_col))
+    base = _persist(simhash_fingerprint(
+        df, id_col, text_col, chunk_bits=chunk_bits, n_chunks=n_chunks,
+        hash_fn=hash_fn,
+    ))
     banded = base.select(
-        "_id", "chunk0", "chunk1", "chunk2", "chunk3",
-        F.posexplode(F.array("chunk0", "chunk1", "chunk2", "chunk3")).alias("_band", "_bh"),
+        "_id", *chunk_names,
+        F.posexplode(F.array(*chunk_names)).alias("_band", "_bh"),
     )
     l, r = banded.alias("l"), banded.alias("r")
     ham = sum(
         F.bit_count(
             F.col(f"l.chunk{c}").cast("long").bitwiseXOR(F.col(f"r.chunk{c}").cast("long"))
         )
-        for c in range(4)
+        for c in range(n_chunks)
     )
     # hamming is computed and filtered BEFORE the pair dedup: the raw
     # candidate stream (every band collision; ~15x the surviving pairs on
@@ -635,11 +723,24 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return minhash_near_duplicates(_load(spark, sf_dir, "documents"), threshold=0.3)
+    """Contract query: ORACLE-PORTABLE md5 mode (hash64), so the full
+    MinHash->LSH->verify pipeline is value-checked against the DuckDB
+    replica SQL (analytics.MINHASH_LSH_SQL). Production callers default to
+    hash_fn='xxhash64' (faster; replica-verified in
+    tests/test_dedup_fixtures.py instead)."""
+    return minhash_near_duplicates(
+        _load(spark, sf_dir, "documents"), threshold=0.3, hash_fn="md5"
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return simhash_near_duplicates(_load(spark, sf_dir, "documents"), max_hamming=3)
+    """Contract query: oracle-portable md5 mode with the 60-bit / 4x15-bit
+    fingerprint (analytics.SIMHASH_SQL is the DuckDB replica). Output is
+    chunking-independent; see simhash_near_duplicates."""
+    return simhash_near_duplicates(
+        _load(spark, sf_dir, "documents"), max_hamming=3,
+        chunk_bits=15, hash_fn="md5",
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -735,9 +836,13 @@ def q_multimodal_features(spark, sf_dir):
 # results are hash-function-free) — registered in analytics.QUERIES instead.
 # ann_lsh_topk also graduated to a full SQL oracle (deterministic
 # hyperplanes inline as literals; probe set = bit_count of bucket XOR).
+# dedup_minhash_lsh and dedup_simhash graduated in round 4: their contract
+# entries run hash64's oracle-portable md5 mode, reproducible in DuckDB SQL
+# (analytics.MINHASH_LSH_SQL / SIMHASH_SQL) — also registered there. The two
+# remaining rows-only entries are genuinely non-SQL: ann_ivf_topk's codebook
+# is a driver-side k-means artifact, multimodal_features is a binary-column
+# mapInPandas pipeline; both carry exact replica fixtures in tests/.
 ROWS_ONLY_QUERIES = {
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }

@@ -259,3 +259,70 @@ def test_xxh64_replica_randomized_corpus(spark):
         for s in samples
     ]
     assert got == exp
+
+
+def test_hash64_md5_matches_hashlib(spark):
+    """hash64(hash_fn='md5') — the oracle-portable 60-bit md5 slice — must
+    equal int(md5(x).hexdigest()[1:16], 16) (and DuckDB's
+    cast(concat('0x', substr(md5(x),2,15)) as ubigint), proven equal to the
+    same hashlib expression in the oracle-SQL prototypes). Seeded form
+    prepends '{seed}:'. One Spark job."""
+    import hashlib
+
+    from nostr_data_pipeline_spark.operators.dedup import hash64
+
+    def ref(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[1:16], 16)
+
+    samples = ["", "a", "hello world foo", "漢字 tøkens 😀", "B3:12,34,56"]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = [
+        tuple(r)
+        for r in df.select(
+            hash64(F.col("s"), hash_fn="md5"),
+            hash64(F.col("s"), seed=7, hash_fn="md5"),
+        ).collect()
+    ]
+    assert got == [(ref(s), ref(f"7:{s}")) for s in samples]
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        hash64(F.col("s"), hash_fn="sha1")
+
+
+def test_simhash_pigeonhole_param_guard():
+    """n_chunks <= max_hamming would let a within-bound pair differ in every
+    chunk and be MISSED by the blocking — must fail fast."""
+    from nostr_data_pipeline_spark.operators.dedup import simhash_near_duplicates
+
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        simhash_near_duplicates(None, max_hamming=4, n_chunks=4)
+
+
+def test_md5_mode_pairs_are_verified_true_pairs(spark, docs_fixture=None):
+    """md5-mode MinHash returns only TRUE >=threshold Jaccard pairs (the
+    hash choice moves candidate recall, never verified precision): every
+    emitted pair's jaccard recomputed from raw shingles matches."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "totally different words entirely here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from nostr_data_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+        release_dedup_caches,
+    )
+
+    got = {(r["id1"], r["id2"]): r["jaccard"]
+           for r in minhash_near_duplicates(df, threshold=0.5,
+                                            hash_fn="md5").collect()}
+    release_dedup_caches()
+
+    def sh(t):
+        tk = t.split()
+        return {" ".join(tk[i:i + 3]) for i in range(max(len(tk) - 2, 1))}
+
+    assert got[(1, 4)] == 1.0  # exact dup always collides in every band
+    for (a, b), j in got.items():
+        sa, sb = sh(rows[a - 1][1]), sh(rows[b - 1][1])
+        assert j == round(len(sa & sb) / len(sa | sb), 4) and j >= 0.5
