@@ -194,17 +194,28 @@ def main() -> None:
         # cdc_stream_cow keeps the round-3-comparable copy-on-write recipe.
         from nostr_data_pipeline_spark.streaming.replayer import StreamingReplayer
 
-        stream_table = SnapshotTable(os.path.join(tmp, "stbl"), num_buckets=32)
-        rep = StreamingReplayer(
-            stream_table, log_dir, os.path.join(tmp, "ckpt"),
-            max_files_per_trigger=8, collect_lineage=False,
-            merge_mode="mor", max_broadcast_keys=None,
-        )
-        t0 = time.perf_counter()
-        q = rep.start(spark, available_now=True)
-        q.awaitTermination()
-        stream_table.fold_deltas(spark)
-        stream_sec = time.perf_counter() - t0
+        # best-of-N like cdc_replay (co-tenant load only ever ADDS time);
+        # each trial streams into a FRESH table + checkpoint so exactly-once
+        # markers can't skip work
+        stream_trials = int(os.environ.get("SPARK_GRAFT_STREAM_TRIALS", "2"))
+        stream_sec = None
+        stream_trial_secs = []
+        for i in range(max(1, stream_trials)):
+            stream_table = SnapshotTable(
+                os.path.join(tmp, f"stbl{i}"), num_buckets=32)
+            rep = StreamingReplayer(
+                stream_table, log_dir, os.path.join(tmp, f"ckpt{i}"),
+                max_files_per_trigger=8, collect_lineage=False,
+                merge_mode="mor", max_broadcast_keys=None,
+            )
+            t0 = time.perf_counter()
+            q = rep.start(spark, available_now=True)
+            q.awaitTermination()
+            stream_table.fold_deltas(spark)
+            dt = time.perf_counter() - t0
+            stream_trial_secs.append(round(dt, 3))
+            if stream_sec is None or dt < stream_sec:
+                stream_sec = dt
         timings["cdc_stream"] = round(stream_sec, 3)
         stream_events_per_sec = n_delivered / stream_sec
 
@@ -270,6 +281,7 @@ def main() -> None:
         "cdc_events_per_sec": round(events_per_sec, 1),
         "cdc_replay_trial_secs": trial_secs,
         "stream_events_per_sec": round(stream_events_per_sec, 1),
+        "stream_trial_secs": stream_trial_secs,
         "stream_recipe": "mor-delta+vouched-broadcast+final-fold",
         "cdc_rows_applied": result.rows_applied,
         "trickle_rows": trickle_rows,

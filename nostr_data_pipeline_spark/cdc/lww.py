@@ -52,6 +52,7 @@ def resolve_lww(
     stats: dict | None = None,
     group_expr: F.Column | None = None,
     input_observation=None,
+    exact_one_per_key: bool = True,
 ) -> DataFrame:
     """Reduce to exactly one row per key: the (seq, tie)-max winner.
     Preserves all input columns.
@@ -187,6 +188,19 @@ def resolve_lww(
             .filter(F.col(seq_col) == F.col("_max_seq"))
             .drop("_max_seq", "_cnt")
         )
+        if not exact_one_per_key:
+            # ``exact_one_per_key=False``: skip the residual tie-dedup
+            # aggregation (and its shuffle) and return the winner-FILTERED
+            # rows, which may still hold >1 row per key — verbatim
+            # redeliveries of the winner and the rare equal-seq tie. ONLY
+            # for sinks that re-resolve with the same (seq, tie) winner
+            # rule downstream: the engine's merge-on-read deltas do
+            # (SnapshotTable._resolve_lww_rows applies the identical
+            # max_by at read/fold time, so the duplicate collapses there —
+            # one fewer shuffle on the per-micro-batch ingest hot path).
+            # NEVER feed this to a copy-on-write MERGE, which requires a
+            # unique key per batch row.
+            return cand.select(*key_cols, *payload)
         # residual ties: exact duplicates (same event redelivered) and the
         # pathological equal-seq-different-id case; 'cand' is ~one row per
         # key, so the struct agg here is tiny

@@ -105,7 +105,8 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
                   max_broadcast_keys: int | None = 5_000_000,
                   stats: dict | None = None,
                   group_expr: Any = None,
-                  input_observation: Any = None) -> DataFrame:
+                  input_observation: Any = None,
+                  exact_one_per_key: bool = True) -> DataFrame:
     """Data rows of one batch -> LWW-resolved rows shaped for MERGE.
 
     Shuffle discipline (this is the hot path of the primary metric):
@@ -135,7 +136,8 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
                            mode=lww_mode, salt=salt,
                            max_broadcast_keys=max_broadcast_keys, stats=stats,
                            group_expr=group_expr,
-                           input_observation=input_observation)
+                           input_observation=input_observation,
+                           exact_one_per_key=exact_one_per_key)
     resolved = resolved.withColumn(
         # vectorized pandas UDF: normalize + sha256 (input_hint mandate)
         "content_sha256",
@@ -177,6 +179,47 @@ def _footer_proves_no_schema_events(uri: str) -> bool:
     return True
 
 
+def _footer_batch_counts(batch: DataFrame,
+                         key_cols: tuple[str, ...]) -> tuple[int, int] | None:
+    """(rows_total, rows_nullkey=0) for a batch that IS its parquet files,
+    from driver-side footer metadata alone — no Spark job, no interpreted
+    observe() pass (measured material on 1M-row micro-batches; accumulator
+    expressions run outside codegen). Sound only when the footers PROVE the
+    answer: every file readable, every key column carrying null_count
+    stats, and every null_count zero (a single possible null key falls back
+    — the exact null-key row count needs a scan). Returns None on any
+    doubt; the CALLER must guarantee the batch is an unfiltered file slice
+    (a seq-sliced or stateful-dedup batch would overcount)."""
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = batch.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    total = 0
+    for uri in files:
+        path = unquote(urlparse(uri).path) or uri
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            idxs = [names.index(k) for k in key_cols]
+        except ValueError:
+            return None
+        total += md.num_rows
+        for rg in range(md.num_row_groups):
+            for ci in idxs:
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_null_count or st.null_count:
+                    return None
+    return total, 0
+
+
 def collect_schema_events(batch: DataFrame) -> list:
     """The batch's schema_change rows. Schema events are RARE (a handful
     per 10^10-event log), so the hot path proves their ABSENCE from the
@@ -214,6 +257,7 @@ def replay_batch(
     cache_batch: bool = False,
     max_broadcast_keys: int | None = 5_000_000,
     merge_mode: str = "cow",
+    batch_is_file_slice: bool = False,
 ) -> dict[str, Any]:
     """Apply one micro-batch (data + schema_change rows mixed) exactly once.
 
@@ -291,8 +335,19 @@ def replay_batch(
         # that ignores it (agg / salted_window) keeps the counted fallback
         # path below instead of blocking forever on Observation.get
         want_vouch = max_broadcast_keys is None and merge_mode == "mor"
+        # footer fast path for the vouched metrics: when the caller declares
+        # the batch IS its parquet files (``batch_is_file_slice`` — the
+        # guard-mode streaming source) and the footers prove null-free keys,
+        # rows_seen/rows_nullkey come from driver-side metadata and the
+        # interpreted observe() pass disappears from the delta-write job
+        # entirely. The footer total counts schema_change rows too — len(sc)
+        # is subtracted below.
+        footer_counts = (
+            _footer_batch_counts(batch, tuple(table.key_cols))
+            if want_vouch and batch_is_file_slice else None
+        )
         obs_in = None
-        if want_vouch:
+        if want_vouch and footer_counts is None:
             from pyspark.sql import Observation
             import uuid as _uuid
             obs_in = Observation(f"lww-in-{_uuid.uuid4().hex[:8]}")
@@ -302,8 +357,18 @@ def replay_batch(
                                  stats=lww_stats,
                                  group_expr=(None if want_vouch
                                              else table.bucket_expr()),
-                                 input_observation=obs_in)
-        vouched_mor = want_vouch and lww_stats.get("input_observed", False)
+                                 input_observation=obs_in,
+                                 # the MoR sink re-resolves the SAME
+                                 # (seq, tie) winner rule at read/fold time,
+                                 # so the per-batch residual tie-dedup
+                                 # aggregation is redundant there — skip its
+                                 # shuffle (see resolve_lww)
+                                 exact_one_per_key=not want_vouch)
+        vouched_mor = want_vouch and (
+            lww_stats.get("input_observed", False)
+            or (footer_counts is not None
+                and lww_stats.get("lww_mode") in ("maxseq", "maxseq_shuffle"))
+        )
         # Guarded path: the resolved batch feeds multiple consumers (bucket
         # pruning and the merge join) — cache it so LWW runs once per batch.
         # Vouched MoR path: exactly ONE consumer (the delta write); caching
@@ -365,15 +430,25 @@ def replay_batch(
                     # concurrent writer could land a commit in between)
                     return metrics
                 # the delta write was the one action that evaluated the
-                # batch: its input observation carries the row counts, its
-                # own rows_written IS the resolved-winner count, and the
-                # manifest already holds the footer-derived per-bucket
-                # lineage (_merge_delta records it for every MoR commit)
-                om = dict(obs_in.get)
-                rows_seen = int(om.get("rows_total") or 0)
+                # batch: row counts come from the source files' parquet
+                # footers when provable (zero extra work in the job), else
+                # from the input observation; rows_written IS the delta row
+                # count (winners, PLUS residual same-seq ties/redeliveries —
+                # the per-batch tie-dedup is skipped because the MoR
+                # read/fold resolution applies the identical winner rule,
+                # see exact_one_per_key above), and the manifest already
+                # holds the footer-derived per-bucket lineage (_merge_delta
+                # records it for every MoR commit)
+                if footer_counts is not None:
+                    rows_seen = footer_counts[0] - len(sc)
+                    nullkey = footer_counts[1]
+                else:
+                    om = dict(obs_in.get)
+                    rows_seen = int(om.get("rows_total") or 0)
+                    nullkey = int(om.get("rows_nullkey") or 0)
                 rows_resolved = int(metrics.get("rows_written") or 0)
-                if om.get("rows_nullkey"):
-                    metrics["rows_nullkey_dropped"] = int(om["rows_nullkey"])
+                if nullkey:
+                    metrics["rows_nullkey_dropped"] = nullkey
             metrics["rows_seen"] = rows_seen
             metrics["rows_resolved"] = rows_resolved
             # duplicates + LWW-superseded rows per batch (reference T2/A14);

@@ -183,6 +183,12 @@ class StreamingReplayer:
             cache_batch=(self.dedup_mode == "watermark"),
             merge_mode=self.merge_mode,
             max_broadcast_keys=self.max_broadcast_keys,
+            # guard-mode micro-batches from the default file source ARE
+            # their parquet files (no stateful operator, no filter), which
+            # licenses the footer-metadata metrics fast path; a watermark
+            # batch or a factory source (Kafka/socket) is not
+            batch_is_file_slice=(self.dedup_mode == "guard"
+                                 and self.source_factory is None),
         )
         self._applied_batches += 1
         if self.merge_mode == "mor" and self.compact_every:

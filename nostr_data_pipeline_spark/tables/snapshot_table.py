@@ -1158,17 +1158,22 @@ class SnapshotTable:
         new_version = m["version"] + 1
         data_rel = f"delta-v{new_version:08d}"
         out_dir = os.path.join(self.path, data_rel)
-        from pyspark.sql import Observation
-        obs = Observation(f"mor-{uuid.uuid4().hex[:8]}")
-        src = src.observe(obs, F.count(F.lit(1)).alias("rows_written"))
         self._write_bucketed(src, out_dir, self.num_buckets)
-        n_rows = dict(obs.get).get("rows_written") or 0
-        if n_rows == 0:
-            shutil.rmtree(out_dir, ignore_errors=True)
-            return {"rows_written": 0, "delta_files": 0}
         written = self._list_written_buckets(
             out_dir, data_rel, range(self.num_buckets)
         )
+        # row count from the just-written files' parquet footers (driver-side
+        # metadata, <= num_buckets files) — the footers are read for the
+        # per-bucket lineage below anyway, and an observe() accumulator on
+        # the write would run interpreted per row inside the job
+        per_bucket = {
+            b: sum(_parquet_num_rows(os.path.join(self.path, f)) for f in fs)
+            for b, fs in written.items() if fs
+        }
+        n_rows = sum(per_bucket.values())
+        if n_rows == 0:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return {"rows_written": 0, "delta_files": 0}
         deltas = {b: list(fs) for b, fs in self._deltas_of(m).items()}
         n_files = 0
         for b, fs in written.items():
@@ -1202,17 +1207,9 @@ class SnapshotTable:
         }
         metrics.update(extra_metrics or {})
         if "lineage_rows_per_bucket" not in metrics:
-            # per-bucket lineage from the just-written files' parquet
-            # footers: driver-side metadata reads (<= num_buckets files per
-            # commit), NO Spark job — a delta holds exactly the resolved
-            # batch rows, so footer counts ARE the per-bucket lineage
-            metrics["lineage_rows_per_bucket"] = {
-                b: n for b, n in (
-                    (b, sum(_parquet_num_rows(os.path.join(self.path, f))
-                            for f in fs))
-                    for b, fs in written.items() if fs
-                )
-            }
+            # per-bucket lineage = the footer counts computed above — a
+            # delta holds exactly the resolved batch rows
+            metrics["lineage_rows_per_bucket"] = dict(per_bucket)
         self._commit({
             **m,
             "version": new_version,

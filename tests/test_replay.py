@@ -362,3 +362,73 @@ def test_schema_event_footer_fast_path(spark, tmp_path):
     got = collect_schema_events(dirty)
     assert [(r["sc_col_name"], r["sc_col_type"]) for r in got] == [
         ("stars", "long")]
+
+
+def test_footer_batch_counts_proof_and_fallback(spark, tmp_path):
+    """Footer counts fire only when every key column's null_count is
+    provably zero; one possibly-null key falls back to None (the exact
+    null-key count needs a scan). Soundness: can only SKIP the scan."""
+    import pandas as pd
+
+    from nostr_data_pipeline_spark.cdc.replayer import (
+        LOG_SCHEMA, _footer_batch_counts,
+    )
+
+    def _df(null_key):
+        rows = pd.DataFrame({
+            "event_id": ["e1", "e2"],
+            "seq": pd.array([1, 2], dtype="int64"),
+            "op": ["upsert", "upsert"],
+            "repo": ["r1", None if null_key else "r2"],
+            "path": ["a", "b"],
+            "ts": pd.to_datetime(["2024-01-01"] * 2),
+            "commit": ["c", "d"], "lang": ["py", "py"],
+            "content": ["x", "y"], "extra_json": [None, None],
+            "sc_col_name": [None, None], "sc_col_type": [None, None],
+        })
+        return spark.createDataFrame(rows, LOG_SCHEMA)
+
+    clean_dir, null_dir = str(tmp_path / "c"), str(tmp_path / "n")
+    _df(False).coalesce(1).write.parquet(clean_dir)
+    _df(True).coalesce(1).write.parquet(null_dir)
+    clean = spark.read.schema(LOG_SCHEMA).parquet(clean_dir)
+    assert _footer_batch_counts(clean, ("repo", "path")) == (2, 0)
+    dirty = spark.read.schema(LOG_SCHEMA).parquet(null_dir)
+    assert _footer_batch_counts(dirty, ("repo", "path")) is None
+    assert _footer_batch_counts(clean, ("repo", "nope")) is None
+
+
+def test_resolve_lww_non_exact_mode_keeps_ties_for_mor(spark):
+    """exact_one_per_key=False returns winner-FILTERED rows (redelivered
+    winners / equal-seq ties survive); the MoR read-side resolution then
+    collapses them to the identical final state the exact mode produces."""
+    from nostr_data_pipeline_spark.cdc.lww import resolve_lww
+
+    rows = [
+        ("r1", "a", 3, "e3", "new"),
+        ("r1", "a", 3, "e3", "new"),   # verbatim redelivery of the winner
+        ("r1", "a", 1, "e1", "old"),
+        ("r2", "b", 5, "e5", "x"),
+        ("r2", "b", 5, "e9", "y"),     # equal-seq tie, e9 wins on tie col
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "seq", "event_id", "v"])
+    loose = resolve_lww(df, ("repo", "path"), "seq", "event_id",
+                        max_broadcast_keys=None, exact_one_per_key=False)
+    got = sorted(tuple(r) for r in loose.collect())
+    # losers gone, winner multiplicity retained
+    assert got == sorted([
+        ("r1", "a", 3, "e3", "new"), ("r1", "a", 3, "e3", "new"),
+        ("r2", "b", 5, "e5", "x"), ("r2", "b", 5, "e9", "y"),
+    ])
+    exact = resolve_lww(df, ("repo", "path"), "seq", "event_id",
+                        max_broadcast_keys=None)
+    # downstream winner rule (max_by (seq, tie)) collapses loose == exact
+    from pyspark.sql import functions as F
+    collapsed = (
+        loose.groupBy("repo", "path")
+        .agg(F.max_by(F.struct("seq", "event_id", "v"),
+                      F.struct(F.col("seq"), F.col("event_id"))).alias("w"))
+        .select("repo", "path", "w.seq", "w.event_id", "w.v")
+    )
+    assert sorted(map(tuple, collapsed.collect())) == \
+        sorted(map(tuple, exact.collect()))
