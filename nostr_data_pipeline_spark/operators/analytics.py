@@ -1196,18 +1196,12 @@ ORDER BY d.doc_id
 _MD5_HASH_SQL = "cast(concat('0x', substr(md5({x}), 2, 15)) as ubigint)::bigint"
 
 
-def _minhash_md5_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
-                     threshold: float = 0.3) -> str:
-    """DuckDB replica of minhash_near_duplicates(hash_fn='md5'): the same
-    60-bit md5-slice hash (dedup.hash64) on both engines makes signatures,
-    band hashes, LSH candidates and verified Jaccard all value-identical —
-    the pipeline runs under the full hash-match gate, not rows-only.
-    Shingle CTEs mirror NGRAM_JACCARD_SQL (proven equivalent to
-    shingles_of_tokens); per-seed hashes derive from ONE md5 per shingle by
-    double hashing (b1 + i*b2 — see the md5 branch in
-    minhash_near_duplicates); band hashes digest 'B{b}:' + comma-joined
-    decimal signature values, verbatim what dedup._band_hash feeds
-    Spark's md5."""
+def _md5_sig_ctes(num_hashes: int, bands: int, n: int) -> str:
+    """Shared DuckDB CTE chain ``t -> s -> e -> hb -> h -> b``: word
+    shingles, per-shingle md5 double-hash bases (b1, b2), per-doc MinHash
+    signature columns h0..h{k-1}, and banded (band, bh) rows — the exact
+    derivation dedup's md5 mode runs in Spark (minhash_near_duplicates and
+    MinHashIndex._sig_frame share it)."""
     rows = num_hashes // bands
     hcols = ",\n         ".join(
         f"min(b1 + {h}*b2) AS h{h}" for h in range(num_hashes)
@@ -1226,10 +1220,7 @@ def _minhash_md5_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
         )
         for b in range(bands)
     )
-    jac = ("round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
-           " / len(list_distinct(list_concat(s1.sh, s2.sh))), 4)")
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
 ), s AS (
   SELECT doc_id,
@@ -1249,7 +1240,25 @@ WITH t AS (
   FROM hb GROUP BY doc_id
 ), b AS (
 {band_selects}
-), cand AS (
+)"""
+
+
+def _minhash_md5_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
+                     threshold: float = 0.3) -> str:
+    """DuckDB replica of minhash_near_duplicates(hash_fn='md5'): the same
+    60-bit md5-slice hash (dedup.hash64) on both engines makes signatures,
+    band hashes, LSH candidates and verified Jaccard all value-identical —
+    the pipeline runs under the full hash-match gate, not rows-only.
+    Shingle CTEs mirror NGRAM_JACCARD_SQL (proven equivalent to
+    shingles_of_tokens); per-seed hashes derive from ONE md5 per shingle by
+    double hashing (b1 + i*b2 — see the md5 branch in
+    minhash_near_duplicates); band hashes digest 'B{b}:' + comma-joined
+    decimal signature values, verbatim what dedup._band_hash feeds
+    Spark's md5."""
+    jac = ("round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)"
+           " / len(list_distinct(list_concat(s1.sh, s2.sh))), 4)")
+    return f"""
+WITH {_md5_sig_ctes(num_hashes, bands, n)}, cand AS (
   SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
   FROM b l JOIN b r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
 )
@@ -1257,6 +1266,48 @@ SELECT id1, id2, {jac} AS jaccard
 FROM cand JOIN s s1 ON s1.doc_id = id1 JOIN s s2 ON s2.doc_id = id2
 WHERE {jac} >= {threshold}
 ORDER BY jaccard DESC, id1, id2
+"""
+
+
+def _dedup_incremental_sql(num_hashes: int = 32, bands: int = 8, n: int = 3,
+                           threshold: float = 0.35) -> str:
+    """DuckDB replica of the dedup_incremental contract query
+    (MinHashIndex in md5 mode: index even-id docs, check odd-id docs).
+    Recomputes the same signatures from raw documents; 'index' pairs are
+    odd-vs-even band collisions, 'batch' pairs odd-vs-smaller-odd; both
+    verified by the estimated Jaccard (fraction of agreeing signature
+    slots — the identical estimator MinHashIndex._est_jaccard computes
+    over the PERSISTED signatures, so a value match here proves the whole
+    store-merge-probe-fetch path end to end). Rounding: every possible
+    estimate is k/{num_hashes}; DuckDB and Spark agree on HALF_UP for all
+    of them (probed exhaustively for k=0..num_hashes)."""
+    agree = "(" + " + ".join(
+        f"CASE WHEN a.h{i} = d.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    ) + ")"
+    est = f"round({agree}/{num_hashes}.0, 4)"
+    return f"""
+WITH {_md5_sig_ctes(num_hashes, bands, n)}, newb AS (
+  SELECT * FROM b WHERE doc_id % 2 = 1
+), idxb AS (
+  SELECT * FROM b WHERE doc_id % 2 = 0
+), ci AS (
+  SELECT DISTINCT nb.doc_id AS doc_id, ib.doc_id AS dup_of
+  FROM newb nb JOIN idxb ib ON nb.band = ib.band AND nb.bh = ib.bh
+), cb AS (
+  SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS dup_of
+  FROM newb l JOIN newb r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id > r.doc_id
+), p AS (
+  SELECT c.doc_id, c.dup_of, {est} AS est_jaccard, 'index' AS dup_src
+  FROM ci c JOIN h a ON a.doc_id = c.doc_id JOIN h d ON d.doc_id = c.dup_of
+  UNION ALL
+  SELECT c.doc_id, c.dup_of, {est} AS est_jaccard, 'batch' AS dup_src
+  FROM cb c JOIN h a ON a.doc_id = c.doc_id JOIN h d ON d.doc_id = c.dup_of
+)
+SELECT doc_id, dup_of, est_jaccard, dup_src
+FROM p WHERE est_jaccard >= {threshold}
+ORDER BY doc_id, dup_of
 """
 
 
@@ -1680,9 +1731,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (_q_dedup_simhash, _simhash_md5_sql()),
     "dedup_canonical": (_q_dedup_canonical, DEDUP_CANONICAL_SQL),
     "dedup_canonical_star": (_q_dedup_canonical_star, DEDUP_CANONICAL_SQL),
-    # deterministic but xxhash64-based: rows-only, replica-verified
-    # (tests/test_dedup_index.py)
-    "dedup_incremental": (_q_dedup_incremental, None),
+    # graduated in round 4: the contract entry runs MinHashIndex's
+    # oracle-portable md5 mode — the DuckDB replica recomputes signatures
+    # from raw documents, value-checking the whole persisted-index path
+    "dedup_incremental": (_q_dedup_incremental, _dedup_incremental_sql()),
     "corpus_prepare": (corpus_prepare, CORPUS_PREPARE_SQL),
     "corpus_split": (corpus_split, CORPUS_SPLIT_SQL),
     "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),

@@ -762,10 +762,13 @@ def q_dedup_canonical(spark, sf_dir, mode: str = "minlabel"):
 def q_dedup_incremental(spark, sf_dir):
     """Dedup-at-ingest contract query: index the even-id half of the
     documents table in a throwaway MinHashIndex, then check the odd-id half
-    against it (plus within-batch pairs). Deterministic (xxhash64-based;
-    value-verified by the replica in tests/test_dedup_index.py) but not
-    SQL-expressible — DuckDB lacks Spark's xxhash64 — so rows-only in the
-    oracle gate, like dedup_minhash_lsh."""
+    against it (plus within-batch pairs). Runs the index's oracle-portable
+    md5 hash mode (round 4), so the WHOLE stateful path — signature
+    persistence through two MERGE-maintained SnapshotTables, bucket-pruned
+    band probe, estimated-Jaccard verify — is value-checked against a pure
+    DuckDB replica (analytics.DEDUP_INCREMENTAL_SQL) that recomputes the
+    same signatures from the raw documents. The xxhash64 production default
+    stays replica-verified in tests/test_dedup_index.py."""
     import shutil
     import tempfile
 
@@ -780,7 +783,7 @@ def q_dedup_incremental(spark, sf_dir):
         # merge keep the throwaway-index fixed cost (2 creates + 2 MERGE
         # commits) off the gate's critical path (the production sizing rule
         # lives on SnapshotTable.rebucket)
-        idx = MinHashIndex.create(spark, tmp, num_buckets=4)
+        idx = MinHashIndex.create(spark, tmp, num_buckets=4, hash_fn="md5")
         idx.add(spark, base)
         # check() localCheckpoints eagerly, so the plan no longer reads the
         # temp index after return and the cleanup below is safe

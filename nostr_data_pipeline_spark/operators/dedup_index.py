@@ -67,7 +67,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nostr_data_pipeline_spark.operators.dedup import (
+    _band_hash,
     canonical_docs,
+    hash64,
     shingles_of_tokens,
     tokenize,
 )
@@ -106,14 +108,21 @@ class MinHashIndex:
     max_bucket_probe: int = 8192
 
     def __init__(self, path: str, num_hashes: int = 32, bands: int = 8,
-                 shingle_n: int = 3, num_buckets: int = 16):
+                 shingle_n: int = 3, num_buckets: int = 16,
+                 hash_fn: str = "xxhash64"):
         if bands <= 0 or num_hashes % bands != 0:
             raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+        if hash_fn not in ("xxhash64", "md5"):
+            raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
         self.path = path
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
         self.num_buckets = num_buckets
+        # 'md5' = dedup.hash64's oracle-portable mode (frozen at create time
+        # like every other LSH parameter: signatures from different hash
+        # chains never collide meaningfully)
+        self.hash_fn = hash_fn
         self.bands_table = SnapshotTable(
             os.path.join(path, "bands"),
             key_cols=("band", "bandhash", "doc_id"),
@@ -129,8 +138,9 @@ class MinHashIndex:
     @classmethod
     def create(cls, spark: SparkSession, path: str, num_hashes: int = 32,
                bands: int = 8, shingle_n: int = 3,
-               num_buckets: int = 16) -> "MinHashIndex":
-        idx = cls(path, num_hashes, bands, shingle_n, num_buckets)
+               num_buckets: int = 16,
+               hash_fn: str = "xxhash64") -> "MinHashIndex":
+        idx = cls(path, num_hashes, bands, shingle_n, num_buckets, hash_fn)
         os.makedirs(path, exist_ok=True)
         cfg = os.path.join(path, _CONFIG)
         if os.path.exists(cfg):
@@ -139,7 +149,8 @@ class MinHashIndex:
         idx.sigs_table.create(_sigs_schema())
         with open(cfg, "w") as f:
             json.dump({"num_hashes": num_hashes, "bands": bands,
-                       "shingle_n": shingle_n, "num_buckets": num_buckets}, f)
+                       "shingle_n": shingle_n, "num_buckets": num_buckets,
+                       "hash_fn": hash_fn}, f)
         return idx
 
     @classmethod
@@ -153,9 +164,10 @@ class MinHashIndex:
                    seq_col: str | None) -> DataFrame:
         """One row per doc: (doc_id, sig array<long>, sighash, seq, plus a
         bandhash array) — same hash chain as dedup.minhash_near_duplicates
-        (xxhash64(h, shingle) per hash slot, min-agg; xxhash64(b, slots) per
-        band), so an index built here finds exactly the candidates the batch
-        operator would. Explode + k primitive min-aggs keeps the aggregation
+        in the index's ``hash_fn`` mode (xxhash64(h, shingle) per slot, or
+        the oracle-portable md5 double-hash chain; matching band hashes), so
+        an index built here finds exactly the candidates the batch operator
+        would. Explode + k primitive min-aggs keeps the aggregation
         inside whole-stage codegen (see dedup.py for the measured 10x vs the
         array-expression form)."""
         k, rows = self.num_hashes, self.num_hashes // self.bands
@@ -185,23 +197,44 @@ class MinHashIndex:
             shingles_of_tokens(F.col("_toks"), self.shingle_n).alias("_sh"),
         )
         exploded = base.select("doc_id", "seq", F.explode("_sh").alias("_s"))
-        hashed = exploded.select(
-            "doc_id", "seq",
-            *[F.xxhash64(F.lit(h), F.col("_s")).alias(f"_h{h}") for h in range(k)],
-        )
+        if self.hash_fn == "md5":
+            # oracle-portable chain — identical derivation to
+            # minhash_near_duplicates(hash_fn='md5'): one digest per
+            # shingle, k seeds by double hashing (see dedup.hash64)
+            digest = F.md5(F.col("_s"))
+            b1 = F.conv(F.substring(digest, 2, 15), 16, 10).cast("long")
+            b2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long")
+            hashed = exploded.select(
+                "doc_id", "seq",
+                *[(b1 + F.lit(h) * b2).alias(f"_h{h}") for h in range(k)],
+            )
+        else:
+            hashed = exploded.select(
+                "doc_id", "seq",
+                *[F.xxhash64(F.lit(h), F.col("_s")).alias(f"_h{h}")
+                  for h in range(k)],
+            )
         sig = hashed.groupBy("doc_id").agg(
             F.max("seq").alias("seq"),
             *[F.min(f"_h{h}").alias(f"_h{h}") for h in range(k)],
         )
         slots = [F.col(f"_h{h}") for h in range(k)]
         bandhashes = [
-            F.xxhash64(F.lit(b), *slots[b * rows:(b + 1) * rows])
+            _band_hash(b, slots[b * rows:(b + 1) * rows], self.hash_fn)
             for b in range(self.bands)
         ]
+        if self.hash_fn == "md5":
+            sighash = hash64(
+                F.concat(F.lit("S:"), F.concat_ws(
+                    ",", *[s.cast("string") for s in slots])),
+                hash_fn="md5",
+            )
+        else:
+            sighash = F.xxhash64(*slots)
         return sig.select(
             "doc_id", "seq",
             F.array(*slots).alias("sig"),
-            F.xxhash64(*slots).alias("sighash"),
+            sighash.alias("sighash"),
             F.array(*bandhashes).alias("_bandhashes"),
         )
 
