@@ -148,27 +148,9 @@ def prepare_batch(batch: DataFrame, table: SnapshotTable,
     )
 
 
-def _footer_proves_no_schema_events(uri: str) -> bool:
-    """True iff the parquet file's FOOTER proves it contains zero
-    op='schema_change' rows: ``sc_col_name`` is non-null exactly on those
-    rows, so every row group recording null_count == num_values for that
-    column has none. Driver-side metadata read, no Spark job. Any doubt
-    (unreadable footer, column missing, stats absent) returns False — the
-    caller then falls back to the scan, so this can only SKIP work when
-    provably safe."""
-    import pyarrow.parquet as pq
-    from urllib.parse import unquote, urlparse
-
-    path = unquote(urlparse(uri).path) or uri
-    try:
-        md = pq.ParquetFile(path).metadata
-    except Exception:
-        return False
-    try:
-        ci = [md.schema.column(i).name for i in range(md.num_columns)
-              ].index("sc_col_name")
-    except ValueError:
-        return False
+def _column_all_null_per_footer(md, ci: int) -> bool:
+    """True iff every row group's stats PROVE column ``ci`` is entirely
+    null (null_count present and equal to num_values)."""
     for rg in range(md.num_row_groups):
         col = md.row_group(rg).column(ci)
         st = col.statistics
@@ -179,17 +161,36 @@ def _footer_proves_no_schema_events(uri: str) -> bool:
     return True
 
 
-def _footer_batch_counts(batch: DataFrame,
-                         key_cols: tuple[str, ...]) -> tuple[int, int] | None:
-    """(rows_total, rows_nullkey=0) for a batch that IS its parquet files,
-    from driver-side footer metadata alone — no Spark job, no interpreted
-    observe() pass (measured material on 1M-row micro-batches; accumulator
-    expressions run outside codegen). Sound only when the footers PROVE the
-    answer: every file readable, every key column carrying null_count
-    stats, and every null_count zero (a single possible null key falls back
-    — the exact null-key row count needs a scan). Returns None on any
-    doubt; the CALLER must guarantee the batch is an unfiltered file slice
-    (a seq-sliced or stateful-dedup batch would overcount)."""
+def _column_null_free_per_footer(md, ci: int) -> bool:
+    """True iff every row group's stats PROVE column ``ci`` has zero
+    nulls."""
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_null_count or st.null_count:
+            return False
+    return True
+
+
+def _scan_batch_footers(batch: DataFrame,
+                        key_cols: tuple[str, ...] = ()) -> dict | None:
+    """ONE driver-side pass over the batch files' parquet footers answering
+    every hot-path metadata question at once (each footer is opened a
+    single time per micro-batch):
+
+    - ``no_schema_events``: every file proves ``sc_col_name`` all-null
+      (null_count == num_values per row group) -> the batch provably holds
+      zero ``op='schema_change'`` rows (the scanned files are a superset of
+      the batch's rows, so absence in the files implies absence in the
+      batch, whatever slicing the caller applied).
+    - ``rows_total``: exact file row count (footer ``num_rows``) — a batch
+      count ONLY when the caller guarantees the batch is an unfiltered file
+      slice (a seq-sliced or stateful-dedup batch would overcount).
+    - ``keys_null_free``: every key column provably carries zero nulls.
+
+    Flags degrade INDEPENDENTLY (a missing sc stat doesn't forfeit the key
+    proof); None means the batch has no usable parquet file list at all.
+    Every proof errs toward False, so callers can only SKIP work when
+    provably safe."""
     import pyarrow.parquet as pq
     from urllib.parse import unquote, urlparse
 
@@ -199,28 +200,60 @@ def _footer_batch_counts(batch: DataFrame,
         return None
     if not files or not all(f.endswith(".parquet") for f in files):
         return None
-    total = 0
+    info = {"no_schema_events": True, "rows_total": 0, "keys_null_free": True}
     for uri in files:
         path = unquote(urlparse(uri).path) or uri
         try:
             md = pq.ParquetFile(path).metadata
         except Exception:
             return None
+        info["rows_total"] += md.num_rows
         names = [md.schema.column(i).name for i in range(md.num_columns)]
-        try:
-            idxs = [names.index(k) for k in key_cols]
-        except ValueError:
-            return None
-        total += md.num_rows
-        for rg in range(md.num_row_groups):
-            for ci in idxs:
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_null_count or st.null_count:
-                    return None
-    return total, 0
+        if info["no_schema_events"]:
+            ci = names.index("sc_col_name") if "sc_col_name" in names else None
+            if ci is None or not _column_all_null_per_footer(md, ci):
+                info["no_schema_events"] = False
+        if info["keys_null_free"] and key_cols:
+            for k in key_cols:
+                if k not in names or not _column_null_free_per_footer(
+                        md, names.index(k)):
+                    info["keys_null_free"] = False
+                    break
+        if not key_cols:
+            info["keys_null_free"] = False
+    return info
 
 
-def collect_schema_events(batch: DataFrame) -> list:
+def _footer_proves_no_schema_events(uri: str) -> bool:
+    """Single-file form of the ``no_schema_events`` proof (see
+    _scan_batch_footers); kept for targeted tests and ad-hoc callers."""
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote, urlparse
+
+    path = unquote(urlparse(uri).path) or uri
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return False
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    if "sc_col_name" not in names:
+        return False
+    return _column_all_null_per_footer(md, names.index("sc_col_name"))
+
+
+def _footer_batch_counts(batch: DataFrame,
+                         key_cols: tuple[str, ...]) -> tuple[int, int] | None:
+    """(rows_total, rows_nullkey=0) when the footers prove null-free keys —
+    a thin view over _scan_batch_footers; None on any doubt. The CALLER
+    must guarantee the batch is an unfiltered file slice."""
+    info = _scan_batch_footers(batch, key_cols)
+    if info is None or not info["keys_null_free"]:
+        return None
+    return info["rows_total"], 0
+
+
+def collect_schema_events(batch: DataFrame,
+                          no_schema_proof: bool | None = None) -> list:
     """The batch's schema_change rows. Schema events are RARE (a handful
     per 10^10-event log), so the hot path proves their ABSENCE from the
     batch files' parquet footers alone and skips the per-batch scan job
@@ -229,14 +262,15 @@ def collect_schema_events(batch: DataFrame) -> list:
     files are a superset of the batch's rows, so zero schema rows in the
     files implies zero in the batch. Non-file sources (Kafka/socket),
     non-parquet paths, or footers without null counts fall back to the
-    narrow pushed-down scan (4 columns, payload never read)."""
-    try:
-        files = batch.inputFiles()
-    except Exception:
-        files = []
-    if files and all(f.endswith(".parquet") for f in files) and all(
-        _footer_proves_no_schema_events(f) for f in files
-    ):
+    narrow pushed-down scan (4 columns, payload never read).
+
+    ``no_schema_proof``: the caller's already-computed proof (from
+    _scan_batch_footers — replay_batch opens each footer once for ALL its
+    metadata questions); None computes it here."""
+    if no_schema_proof is None:
+        info = _scan_batch_footers(batch)
+        no_schema_proof = bool(info and info["no_schema_events"])
+    if no_schema_proof:
         return []
     return (
         batch.filter(F.col("op") == "schema_change")
@@ -306,7 +340,13 @@ def replay_batch(
         # apply the metadata commits, then merge the whole batch at once.
         # (A persisted streaming micro-batch is materialized by whichever
         # action runs first — this collect when it runs, else the merge.)
-        sc = collect_schema_events(batch)
+        # One footer pass serves every metadata question this batch asks
+        # (schema-event proof here, row/null-key counts below).
+        finfo = _scan_batch_footers(batch, tuple(table.key_cols))
+        sc = collect_schema_events(
+            batch,
+            no_schema_proof=bool(finfo and finfo["no_schema_events"]),
+        )
         for r in sorted(sc, key=lambda r: r["seq"]):
             table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
 
@@ -343,8 +383,10 @@ def replay_batch(
         # entirely. The footer total counts schema_change rows too — len(sc)
         # is subtracted below.
         footer_counts = (
-            _footer_batch_counts(batch, tuple(table.key_cols))
-            if want_vouch and batch_is_file_slice else None
+            (finfo["rows_total"], 0)
+            if want_vouch and batch_is_file_slice
+            and finfo is not None and finfo["keys_null_free"]
+            else None
         )
         obs_in = None
         if want_vouch and footer_counts is None:
@@ -453,8 +495,15 @@ def replay_batch(
             metrics["rows_resolved"] = rows_resolved
             # duplicates + LWW-superseded rows per batch (reference T2/A14);
             # includes any null-key rows (unmergeable — dropped, but never
-            # silently: surfaced below)
+            # silently: surfaced below). On the vouched MoR path
+            # rows_resolved is the DELTA row count, which keeps winner
+            # redeliveries and equal-seq ties (exact_one_per_key=False —
+            # they collapse at read/fold), so there it can exceed the
+            # unique-winner count and this difference is a LOWER bound on
+            # the true duplicate count; rows_resolved_exact marks which
+            # accounting a batch carries.
             metrics["rows_superseded_or_duplicate"] = max(0, rows_seen - rows_resolved)
+            metrics["rows_resolved_exact"] = not vouched_mor
             if lww_stats.get("null_key_groups"):
                 metrics["rows_nullkey_dropped_groups"] = lww_stats["null_key_groups"]
             if "n_keys" in lww_stats:

@@ -125,6 +125,25 @@ def hash64(col, seed: int | None = None, hash_fn: str = "xxhash64") -> F.Column:
     return F.conv(F.substring(F.md5(s), 2, 15), 16, 10).cast("long")
 
 
+# largest seed count the md5 double-hash derivation can serve without
+# leaving int64: max value = (2^60 - 1) + (k-1)*(2^56 - 1) must stay
+# <= 2^63 - 1, i.e. k - 1 <= (2^63 - 2^60) / (2^56 - 1) -> k <= 112.
+# Above it, Spark 4's ANSI mode would raise ARITHMETIC_OVERFLOW
+# data-dependently (only on shingles whose digest slices are large) and
+# DuckDB's ubigint cast would diverge — fail fast at plan time instead.
+_MD5_MAX_SEEDS = 112
+
+
+def _check_md5_seed_bound(hash_fn: str, num_hashes: int) -> None:
+    if hash_fn == "md5" and num_hashes > _MD5_MAX_SEEDS:
+        raise ValueError(
+            f"hash_fn='md5' supports at most {_MD5_MAX_SEEDS} hashes (the "
+            f"b1 + i*b2 double-hash derivation leaves int64 beyond that, "
+            f"an ANSI overflow); got num_hashes={num_hashes}. Use "
+            f"hash_fn='xxhash64' for wider signatures."
+        )
+
+
 def _band_hash(band: int, cols: list, hash_fn: str) -> F.Column:
     """Hash of one LSH band's signature slice. md5 mode feeds the digest a
     canonical string — 'B{band}:' + comma-joined decimal values — which the
@@ -183,6 +202,7 @@ def minhash_near_duplicates(
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes} evenly"
         )
+    _check_md5_seed_bound(hash_fn, num_hashes)
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_toks")
@@ -725,7 +745,7 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark, sf_dir):
     """Contract query: ORACLE-PORTABLE md5 mode (hash64), so the full
     MinHash->LSH->verify pipeline is value-checked against the DuckDB
-    replica SQL (analytics.MINHASH_LSH_SQL). Production callers default to
+    replica SQL (analytics._minhash_md5_sql()). Production callers default to
     hash_fn='xxhash64' (faster; replica-verified in
     tests/test_dedup_fixtures.py instead)."""
     return minhash_near_duplicates(
@@ -735,7 +755,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     """Contract query: oracle-portable md5 mode with the 60-bit / 4x15-bit
-    fingerprint (analytics.SIMHASH_SQL is the DuckDB replica). Output is
+    fingerprint (analytics._simhash_md5_sql() is the DuckDB replica). Output is
     chunking-independent; see simhash_near_duplicates."""
     return simhash_near_duplicates(
         _load(spark, sf_dir, "documents"), max_hamming=3,
@@ -766,7 +786,7 @@ def q_dedup_incremental(spark, sf_dir):
     md5 hash mode (round 4), so the WHOLE stateful path — signature
     persistence through two MERGE-maintained SnapshotTables, bucket-pruned
     band probe, estimated-Jaccard verify — is value-checked against a pure
-    DuckDB replica (analytics.DEDUP_INCREMENTAL_SQL) that recomputes the
+    DuckDB replica (analytics._dedup_incremental_sql()) that recomputes the
     same signatures from the raw documents. The xxhash64 production default
     stays replica-verified in tests/test_dedup_index.py."""
     import shutil
@@ -841,7 +861,7 @@ def q_multimodal_features(spark, sf_dir):
 # hyperplanes inline as literals; probe set = bit_count of bucket XOR).
 # dedup_minhash_lsh and dedup_simhash graduated in round 4: their contract
 # entries run hash64's oracle-portable md5 mode, reproducible in DuckDB SQL
-# (analytics.MINHASH_LSH_SQL / SIMHASH_SQL) — also registered there. The two
+# (analytics._minhash_md5_sql() / _simhash_md5_sql()) — registered there. The
 # remaining rows-only entries are genuinely non-SQL: ann_ivf_topk's codebook
 # is a driver-side k-means artifact, multimodal_features is a binary-column
 # mapInPandas pipeline; both carry exact replica fixtures in tests/.

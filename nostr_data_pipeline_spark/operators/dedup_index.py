@@ -114,6 +114,10 @@ class MinHashIndex:
             raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
         if hash_fn not in ("xxhash64", "md5"):
             raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
+        from nostr_data_pipeline_spark.operators.dedup import (
+            _check_md5_seed_bound,
+        )
+        _check_md5_seed_bound(hash_fn, num_hashes)
         self.path = path
         self.num_hashes = num_hashes
         self.bands = bands

@@ -288,3 +288,28 @@ def test_multi_revision_batch_signs_winning_revision_only(spark, tmp_path):
     assert len(sig_a) == len(sig_b) == 1
     assert sig_a[0]["sig"] == sig_b[0]["sig"]
     assert sig_a[0]["seq"] == 2
+
+
+def test_hash_fn_frozen_in_config_and_open_roundtrip(spark, tmp_path):
+    """hash_fn is an LSH parameter: frozen at create, restored by open();
+    configs written before the field existed default to xxhash64."""
+    import json
+    import os
+
+    from nostr_data_pipeline_spark.operators.dedup_index import MinHashIndex
+
+    p = str(tmp_path / "md5idx")
+    MinHashIndex.create(spark, p, num_buckets=4, hash_fn="md5")
+    assert MinHashIndex.open(p).hash_fn == "md5"
+
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        MinHashIndex(str(tmp_path / "x"), hash_fn="sha1")
+
+    # pre-round-4 config without the key -> xxhash64
+    legacy = str(tmp_path / "legacy")
+    MinHashIndex.create(spark, legacy, num_buckets=4)
+    cfgp = os.path.join(legacy, "index_config.json")
+    cfg = json.load(open(cfgp))
+    cfg.pop("hash_fn")
+    json.dump(cfg, open(cfgp, "w"))
+    assert MinHashIndex.open(legacy).hash_fn == "xxhash64"
