@@ -1,0 +1,170 @@
+"""Streaming dedup-at-ingest: the training-corpus front door.
+
+Tails a document stream, drops every micro-batch doc that near-duplicates
+the already-accepted corpus (or a same-batch canonical), appends the
+survivors to a corpus :class:`SnapshotTable`, and indexes them in the
+persisted :class:`MinHashIndex` — exactly-once end to end. This is the
+streaming composition of the pieces the engine already verifies one level
+down: ``MinHashIndex.check/add`` (value-verified against the DuckDB
+replica via the ``dedup_incremental`` contract query), connected-component
+canonical election, and the seq-guarded MERGE.
+
+Reference parity: the reference's ingest loop answers "have I seen this
+event id" with a PK probe before insert
+(/root/reference/src/nostr_pipeline/loaders/event_loader.py ON CONFLICT
+skip); this job asks the generalized question a 100 TB training pipeline
+needs — "have I already accepted something 90%-similar" — at the same
+point in the topology.
+
+Exactly-once across THREE tables without a cross-table transaction:
+each table (corpus, index bands, index sigs) carries its own idempotent
+``(stream_id, batch_id)`` commit marker, so any crash/replay interleaving
+re-runs only the un-committed merges. The re-run's ``check`` may then see
+an index that already contains this batch's survivors — that is safe by
+construction:
+
+- a survivor's only index collision is with its OWN band rows, which the
+  ``doc_id != dup_of`` filter excludes, so survivors re-survive;
+- a dropped doc re-drops: its cluster's canonical is in the index now, so
+  it matches via ``dup_src='index'`` instead of ``'batch'`` — same
+  decision, different audit label;
+- the corpus merge is seq-guarded, so re-applying the same kept rows is a
+  no-op even without its marker.
+
+The KEPT-SET is therefore replay-stable, which is the invariant the
+corpus's correctness needs; only the audit trail's ``dup_src`` labels can
+differ across a mid-batch crash.
+
+Scale shape: every per-batch job is micro-batch-sized or index-probe-sized
+(see MinHashIndex.check — the index is bucket-pruned and never shuffled);
+the corpus append is a file-pruned MERGE. Nothing here is proportional to
+corpus size except the pruned probes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nostr_data_pipeline_spark.operators.dedup_index import MinHashIndex
+from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+# default wire schema for a document stream: a stable id, the text, and a
+# monotonically increasing revision (re-delivered / revised docs carry a
+# higher seq; the corpus MERGE and the index are both seq-guarded on it)
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("seq", T.LongType()),
+])
+
+
+class StreamingDedupIngest:
+    def __init__(
+        self,
+        index: MinHashIndex,
+        corpus: SnapshotTable,
+        doc_dir: str,
+        checkpoint_dir: str,
+        stream_id: str = "dedup-ingest",
+        threshold: float = 0.5,
+        max_files_per_trigger: int | None = None,
+        audit_dir: str | None = None,
+        source_factory=None,
+    ):
+        """``corpus`` must be keyed by ``doc_id`` (created here if absent).
+        ``audit_dir``: optional rejection audit — each micro-batch's
+        ``(doc_id, dup_of, est_jaccard, dup_src)`` pairs land in a
+        per-batch_id subdirectory written with overwrite semantics, so a
+        replayed batch rewrites its own audit instead of duplicating it
+        (the jobs.py router discipline)."""
+        if tuple(corpus.key_cols) != ("doc_id",):
+            raise ValueError(
+                f"corpus table must be keyed by ('doc_id',), got "
+                f"{tuple(corpus.key_cols)} — construct it as "
+                f"SnapshotTable(path, key_cols=('doc_id',))"
+            )
+        self.index = index
+        self.corpus = corpus
+        self.doc_dir = doc_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.stream_id = stream_id
+        self.threshold = threshold
+        self.max_files_per_trigger = max_files_per_trigger
+        self.audit_dir = audit_dir
+        self.source_factory = source_factory
+        self.batch_metrics: list[dict[str, Any]] = []
+
+    def _source(self, spark: SparkSession) -> DataFrame:
+        if self.source_factory is not None:
+            return self.source_factory(spark)
+        reader = spark.readStream.schema(DOC_SCHEMA)
+        if self.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(self.doc_dir)
+
+    def _apply(self, batch: DataFrame, batch_id: int) -> None:
+        # corpus marker = the batch's overall exactly-once gate (the index
+        # tables keep their own; see module docstring for why any partial
+        # interleaving converges)
+        m = self.corpus.manifest() if self.corpus.exists() else None
+        last = (m or {}).get("commits", {}).get(self.stream_id)
+        if last is not None and batch_id <= last:
+            self.batch_metrics.append(
+                {"batch_id": batch_id, "skipped_replay": True})
+            return
+        res = self.index.ingest(
+            batch.sparkSession, batch,
+            id_col="doc_id", text_col="text", seq_col="seq",
+            threshold=self.threshold,
+            stream_id=self.stream_id, batch_id=batch_id,
+        )
+        if self.audit_dir:
+            # overwrite-per-batch_id: a replayed batch rewrites its audit
+            res["pairs"].write.mode("overwrite").parquet(
+                os.path.join(self.audit_dir, f"batch_id={batch_id}"))
+        kept = res["kept"].select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("text"),
+            F.coalesce(F.col("seq"), F.lit(0)).cast("long").alias("seq"),
+        )
+        cm = self.corpus.merge(
+            batch.sparkSession, kept,
+            seq_col="seq", tie_col="text",
+            stream_id=self.stream_id, batch_id=batch_id,
+            extra_metrics={
+                "docs_in": res["metrics"]["docs_in"],
+                "docs_dropped": res["metrics"]["docs_dropped"],
+            },
+        )
+        self.batch_metrics.append(
+            {"batch_id": batch_id, **res["metrics"],
+             "corpus_rows_written": cm.get("rows_written",
+                                           cm.get("rows_inserted", 0))})
+
+    def start(self, spark: SparkSession, available_now: bool = True,
+              processing_time: str | None = None):
+        if not self.corpus.exists():
+            schema = T.StructType(list(DOC_SCHEMA.fields))
+            self.corpus.create(schema)
+        writer = (
+            self._source(spark)
+            .writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        elif available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, spark: SparkSession) -> list[dict[str, Any]]:
+        q = self.start(spark, available_now=True)
+        q.awaitTermination()
+        return self.batch_metrics

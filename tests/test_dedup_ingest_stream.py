@@ -1,0 +1,123 @@
+"""Streaming dedup-at-ingest (streaming/dedup_ingest.py): the corpus front
+door — near-dup drop against the persisted index, canonical election within
+the batch, survivor append + index, exactly-once across three tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nostr_data_pipeline_spark.operators.dedup_index import MinHashIndex
+from nostr_data_pipeline_spark.streaming.dedup_ingest import (
+    DOC_SCHEMA,
+    StreamingDedupIngest,
+)
+from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again %s"
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(path)
+
+
+def _mk(spark, tmp_path, threshold=0.5):
+    idx = MinHashIndex.create(spark, str(tmp_path / "idx"), num_buckets=4)
+    corpus = SnapshotTable(str(tmp_path / "corpus"), key_cols=("doc_id",),
+                           num_buckets=4)
+    job = StreamingDedupIngest(
+        idx, corpus, str(tmp_path / "docs"), str(tmp_path / "ckpt"),
+        threshold=threshold, max_files_per_trigger=1,
+        audit_dir=str(tmp_path / "audit"),
+    )
+    return idx, corpus, job
+
+
+def test_stream_drops_near_dups_and_keeps_canonicals(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    # file 1 (batch 1): 1-2 near-dups of each other (within-batch cluster,
+    # min id 1 is canonical); 3 unique
+    _write_docs(spark, docs, [
+        (1, BASE % "one", 10),
+        (2, BASE % "one extra", 10),
+        (3, "completely different words describing other things entirely", 10),
+    ])
+    # file 2 (batch 2): 4 near-dups the INDEXED doc 1 (cross-batch ->
+    # dup_src='index'); 5 unique
+    _write_docs(spark, docs, [
+        (4, BASE % "one", 11),
+        (5, "yet another wholly unrelated document body right here", 11),
+    ])
+    idx, corpus, job = _mk(spark, tmp_path)
+    metrics = job.run_to_completion(spark)
+
+    kept = sorted(r["doc_id"] for r in corpus.read(spark).collect())
+    assert kept == [1, 3, 5]
+    assert sum(m.get("docs_dropped", 0) for m in metrics) == 2
+    # the cross-batch rejection is attributed to the INDEX
+    audit = spark.read.parquet(str(tmp_path / "audit"))
+    by_doc = {r["doc_id"]: r["dup_src"] for r in audit.collect()}
+    assert by_doc[4] == "index"
+    assert by_doc[2] == "batch"
+    # survivors are indexed: a later batch near-duplicating doc 5 drops too
+    _write_docs(spark, docs, [(6, "yet another wholly unrelated document "
+                                  "body right here now", 12)])
+    job2 = StreamingDedupIngest(
+        idx, corpus, docs, str(tmp_path / "ckpt"),
+        threshold=0.5, max_files_per_trigger=1,
+        audit_dir=str(tmp_path / "audit"))
+    job2.run_to_completion(spark)
+    assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) \
+        == [1, 3, 5]
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, [
+        (1, BASE % "alpha", 1), (2, BASE % "alpha two", 1),
+    ])
+    idx, corpus, job = _mk(spark, tmp_path)
+    job.run_to_completion(spark)
+    v1 = corpus.current_version()
+    # restart over the same checkpoint: nothing new -> no new commits
+    job2 = StreamingDedupIngest(
+        idx, corpus, docs, str(tmp_path / "ckpt"),
+        threshold=0.5, max_files_per_trigger=1)
+    job2.run_to_completion(spark)
+    assert corpus.current_version() == v1
+    # a fresh checkpoint replaying the SAME files is also a no-op: the
+    # corpus batch marker skips replayed batch ids
+    job3 = StreamingDedupIngest(
+        idx, corpus, docs, str(tmp_path / "ckpt2"),
+        threshold=0.5, max_files_per_trigger=1)
+    m3 = job3.run_to_completion(spark)
+    assert corpus.current_version() == v1
+    assert all(m.get("skipped_replay") for m in m3)
+
+
+def test_corpus_key_guard(spark, tmp_path):
+    idx = MinHashIndex.create(spark, str(tmp_path / "i2"), num_buckets=4)
+    wrong = SnapshotTable(str(tmp_path / "c2"))  # default (repo, path) keys
+    with pytest.raises(ValueError, match="keyed by \\('doc_id',\\)"):
+        StreamingDedupIngest(idx, wrong, "x", "y")
+
+
+def test_revision_updates_survive_seq_guard(spark, tmp_path):
+    """A revised doc (higher seq) replaces its corpus row; a stale replay
+    (lower seq) is a no-op — the MERGE seq guard applies to the corpus."""
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, [(7, "original document text body " * 3, 5)])
+    idx, corpus, job = _mk(spark, tmp_path)
+    job.run_to_completion(spark)
+    _write_docs(spark, docs, [(7, "revised document text body entirely "
+                                  "different now " * 3, 6)])
+    job2 = StreamingDedupIngest(
+        idx, corpus, docs, str(tmp_path / "ckpt"),
+        threshold=0.5, max_files_per_trigger=1)
+    job2.run_to_completion(spark)
+    row = corpus.read(spark).filter(F.col("doc_id") == 7).first()
+    assert row["seq"] == 6 and row["text"].startswith("revised")
