@@ -312,15 +312,23 @@ def quiet_hunt(events: int, n_lo: int, n_hi: int, cores: int) -> None:
             rec: dict = {"attempt": i}
             try:
                 ctl = run_scan_control(n_lo, n_hi, cores, log_dir)
-            except RuntimeError as exc:
+            # TimeoutExpired too: an attempt must never kill the HUNT — a
+            # stalled/SIGSTOPped window is just another loud window to skip
+            except (RuntimeError, subprocess.TimeoutExpired) as exc:
                 rec["control_error"] = str(exc)[-300:]
                 print(json.dumps(rec), flush=True)
                 time.sleep(sleep_s)
                 continue
             rec["control"] = ctl
             if ctl["efficiency"] >= min_ctl:
-                lo = run_at(n_lo, cores, log_dir, delivered)
-                hi = run_at(n_hi, cores, log_dir, delivered)
+                try:
+                    lo = run_at(n_lo, cores, log_dir, delivered)
+                    hi = run_at(n_hi, cores, log_dir, delivered)
+                except (RuntimeError, subprocess.TimeoutExpired) as exc:
+                    rec["pair_error"] = str(exc)[-300:]
+                    print(json.dumps(rec), flush=True)
+                    time.sleep(sleep_s)
+                    continue
                 eff = hi["events_per_sec"] / ((n_hi / n_lo) * lo["events_per_sec"])
                 rec.update(pairs=[lo, hi],
                            scaling_efficiency=round(eff, 3),

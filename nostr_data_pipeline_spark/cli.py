@@ -71,6 +71,33 @@ def cmd_stream(spark, args) -> None:
     print(json.dumps({"metrics": metrics}))
 
 
+def cmd_dedup_ingest(spark, args) -> None:
+    """Streaming dedup-at-ingest (streaming/dedup_ingest.py): drop docs
+    near-duplicating the accepted corpus, append + index survivors."""
+    import os
+
+    from nostr_data_pipeline_spark.operators.dedup_index import MinHashIndex
+    from nostr_data_pipeline_spark.streaming.dedup_ingest import (
+        StreamingDedupIngest,
+    )
+    from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+    if os.path.exists(os.path.join(args.index, "index_config.json")):
+        idx = MinHashIndex.open(args.index)
+    else:
+        idx = MinHashIndex.create(spark, args.index, num_buckets=args.buckets)
+    corpus = SnapshotTable(args.corpus, key_cols=("doc_id",),
+                           num_buckets=args.buckets)
+    job = StreamingDedupIngest(
+        idx, corpus, args.docs, args.checkpoint,
+        threshold=args.threshold,
+        max_files_per_trigger=args.mfpt,
+        audit_dir=args.audit,
+        maintain_every=args.maintain_every,
+    )
+    print(json.dumps({"batches": job.run_to_completion(spark)}))
+
+
 def cmd_stats(spark, args) -> None:
     """Network-stats analogue (reference cli.py `stats`)."""
     t = _table(args)
@@ -237,6 +264,18 @@ def main(argv=None) -> int:
     sp.add_argument("--from-version", type=int, required=True, dest="from_version")
     sp.add_argument("--to-version", type=int, default=None, dest="to_version")
     sp.add_argument("--limit", type=int, default=1000)
+    sp = sub.add_parser("dedup-ingest")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--audit", default=None)
+    sp.add_argument("--buckets", type=int, default=16)
+    sp.add_argument("--max-files-per-trigger", type=int, default=None,
+                    dest="mfpt")
+    sp.add_argument("--maintain-every", type=int, default=None,
+                    dest="maintain_every")
 
     args = p.parse_args(argv)
     from nostr_data_pipeline_spark.session import get_spark
@@ -247,7 +286,7 @@ def main(argv=None) -> int:
         "stats": cmd_stats, "trending": cmd_trending, "top-repos": cmd_top_repos,
         "file": cmd_file, "vacuum": cmd_vacuum, "retention": cmd_retention,
         "compact": cmd_compact, "rebucket": cmd_rebucket,
-        "lineage": cmd_lineage, "changes": cmd_changes,
+        "lineage": cmd_lineage, "changes": cmd_changes, "dedup-ingest": cmd_dedup_ingest,
     }
     handlers[args.cmd](spark, args)
     return 0

@@ -75,13 +75,22 @@ class StreamingDedupIngest:
         max_files_per_trigger: int | None = None,
         audit_dir: str | None = None,
         source_factory=None,
+        maintain_every: int | None = None,
     ):
         """``corpus`` must be keyed by ``doc_id`` (created here if absent).
         ``audit_dir``: optional rejection audit — each micro-batch's
         ``(doc_id, dup_of, est_jaccard, dup_src)`` pairs land in a
         per-batch_id subdirectory written with overwrite semantics, so a
         replayed batch rewrites its own audit instead of duplicating it
-        (the jobs.py router discipline)."""
+        (the jobs.py router discipline).
+
+        ``maintain_every``: every k APPLIED batches (process-local count,
+        advisory — unlike the replayer's fold cadence this maintenance is
+        purely an optimization, so a missed window under availableNow
+        restarts costs bytes, never correctness), run the index's
+        maintenance pass: ``vacuum_stale_bands`` (tombstone band rows
+        orphaned by document revisions) and compaction of all three
+        tables' small files."""
         if tuple(corpus.key_cols) != ("doc_id",):
             raise ValueError(
                 f"corpus table must be keyed by ('doc_id',), got "
@@ -97,6 +106,8 @@ class StreamingDedupIngest:
         self.max_files_per_trigger = max_files_per_trigger
         self.audit_dir = audit_dir
         self.source_factory = source_factory
+        self.maintain_every = maintain_every
+        self._applied = 0
         self.batch_metrics: list[dict[str, Any]] = []
 
     def _source(self, spark: SparkSession) -> DataFrame:
@@ -146,6 +157,13 @@ class StreamingDedupIngest:
             {"batch_id": batch_id, **res["metrics"],
              "corpus_rows_written": cm.get("rows_written",
                                            cm.get("rows_inserted", 0))})
+        self._applied += 1
+        if self.maintain_every and self._applied % self.maintain_every == 0:
+            spark = batch.sparkSession
+            self.index.vacuum_stale_bands(spark)
+            self.index.bands_table.compact(spark)
+            self.index.sigs_table.compact(spark)
+            self.corpus.compact(spark)
 
     def start(self, spark: SparkSession, available_now: bool = True,
               processing_time: str | None = None):
