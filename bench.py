@@ -121,16 +121,36 @@ def main() -> None:
     # untimed warm-up: JVM codegen + python workers (not any query's cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000).count()
 
+    # best-of-N per query — the same co-tenant-noise protocol the CDC
+    # metrics use (load only ever ADDS time, so the minimum is the least
+    # contaminated steady-state estimate). Observed single-pass suites
+    # varying 73.6s -> 90.8s between windows minutes apart with identical
+    # code; best-of-2 bounds that contamination.
+    query_trials = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
+
+    from nostr_data_pipeline_spark.operators.dedup import release_dedup_caches
+
+    def _best_of(fn) -> float:
+        best = None
+        for _ in range(max(1, query_trials)):
+            # drop persisted intermediates between trials: a repeat of the
+            # same builder produces an EQUAL analyzed plan, so Spark's cache
+            # manager would serve trial 2 from trial 1's cache and flatter
+            # the number — each trial must pay the query's full cost
+            release_dedup_caches()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+        release_dedup_caches()
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in headline:
-        fn = QUERIES[name][0]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = _best_of(QUERIES[name][0])
     for name, fn in ROWS_ONLY_QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = _best_of(fn)
 
     # --- primary metric: CDC replay -> upsert throughput ---------------------
     from nostr_data_pipeline_spark.cdc.generator import (
@@ -297,6 +317,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,
+        "query_trials": query_trials,
         "cdc_events_delivered": n_delivered,
         "cdc_events_per_sec": round(events_per_sec, 1),
         "cdc_replay_trial_secs": trial_secs,
