@@ -121,3 +121,27 @@ def test_revision_updates_survive_seq_guard(spark, tmp_path):
     job2.run_to_completion(spark)
     row = corpus.read(spark).filter(F.col("doc_id") == 7).first()
     assert row["seq"] == 6 and row["text"].startswith("revised")
+
+
+def test_maintain_every_runs_index_maintenance(spark, tmp_path):
+    """maintain_every=1: after each applied batch the index's stale band
+    rows are vacuumed and all three tables compact — state stays correct
+    (same corpus as without maintenance) and a revised doc's stale band
+    rows are gone."""
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, [(1, "original body of document one " * 4, 1)])
+    _write_docs(spark, docs, [(1, "totally rewritten body now quite "
+                                  "different " * 4, 2)])
+    idx = MinHashIndex.create(spark, str(tmp_path / "idx"), num_buckets=4)
+    corpus = SnapshotTable(str(tmp_path / "corpus"), key_cols=("doc_id",),
+                           num_buckets=4)
+    job = StreamingDedupIngest(
+        idx, corpus, docs, str(tmp_path / "ckpt"),
+        threshold=0.5, max_files_per_trigger=1, maintain_every=1)
+    job.run_to_completion(spark)
+    row = corpus.read(spark).filter(F.col("doc_id") == 1).first()
+    assert row["seq"] == 2 and row["text"].startswith("totally")
+    # stale band rows (seq < current sig seq) were vacuumed by the cadence
+    bands = idx.bands_table.read(spark, seq_col="seq")
+    assert bands.filter(F.col("seq") < 2).count() == 0
+    assert bands.filter(F.col("seq") == 2).count() > 0
