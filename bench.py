@@ -4,7 +4,9 @@ Runs the headline analytics queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the primary metric:
 end-to-end CDC replay->upsert throughput on a deterministic synthetic change
 log (BASELINE.json `metric`). Scaling evidence across parallelism levels is
-produced by bench_scaling.py (local[8] vs local[32]).
+produced by bench_scaling.py: `--local-pinned` (local[N] pinned to exactly
+N host CPUs — the recorded ≥0.8 form) and the local-cluster executor-JVM
+form with its scan controls / `--quiet-hunt`.
 """
 
 from __future__ import annotations
