@@ -81,14 +81,13 @@ spark.stop()
 LOCAL_WORKER = r"""
 import json, os, sys, time
 n_cores = int(sys.argv[1]); log_dir = sys.argv[2]; delivered = int(sys.argv[3])
+out_dir = sys.argv[4]
 lww_mode = os.environ.get("SPARK_GRAFT_SCALE_LWW", "maxseq")
 from nostr_data_pipeline_spark.session import get_spark
 spark = get_spark(f"pinned-{n_cores}", cores=n_cores,
                   shuffle_partitions=max(8, n_cores))
 from nostr_data_pipeline_spark.cdc.replayer import replay_log, LOG_SCHEMA
 from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
-import tempfile
-out_dir = tempfile.mkdtemp(prefix=f"pin{n_cores}-")
 warm = SnapshotTable(os.path.join(out_dir, "warm"), num_buckets=8)
 wdir = os.path.join(out_dir, "warmlog")
 spark.read.schema(LOG_SCHEMA).parquet(log_dir).limit(20000) \
@@ -101,7 +100,6 @@ dt = time.perf_counter() - t0
 print(json.dumps({"cores": n_cores, "sec": round(dt, 2),
                   "events_per_sec": round(delivered / dt, 1)}))
 spark.stop()
-import shutil; shutil.rmtree(out_dir, ignore_errors=True)
 """
 
 
@@ -117,15 +115,21 @@ def run_pinned(n_cores: int, log_dir: str, delivered: int,
     cpus = f"{cpu_base}-{cpu_base + n_cores - 1}" if n_cores > 1 else str(cpu_base)
     repo = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ, PYTHONPATH=repo)
-    proc = subprocess.run(
-        ["taskset", "-c", cpus, sys.executable, "-c", LOCAL_WORKER,
-         str(n_cores), log_dir, str(delivered)],
-        capture_output=True, text=True, env=env, timeout=1700,
-    )
-    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-    if not lines:
-        raise RuntimeError(f"pinned worker failed:\n{proc.stderr[-2000:]}")
-    return json.loads(lines[-1])
+    # parent owns the temp dir so a SIGKILLed (timed-out) worker cannot
+    # leak it — the same pattern run_at uses
+    out_dir = tempfile.mkdtemp(prefix=f"pin{n_cores}-")
+    try:
+        proc = subprocess.run(
+            ["taskset", "-c", cpus, sys.executable, "-c", LOCAL_WORKER,
+             str(n_cores), log_dir, str(delivered), out_dir],
+            capture_output=True, text=True, env=env, timeout=1700,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"pinned worker failed:\n{proc.stderr[-2000:]}")
+        return json.loads(lines[-1])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def main_pinned(events: int, n_lo: int, n_hi: int, trials: int) -> None:
@@ -141,9 +145,20 @@ def main_pinned(events: int, n_lo: int, n_hi: int, trials: int) -> None:
     log_dir, delivered, cleanup = _prepare_log(events, max(1, n_hi // 2), 2)
     try:
         lo_runs, hi_runs = [], []
+        failures = []
         for _ in range(max(1, trials)):
-            lo_runs.append(run_pinned(n_lo, log_dir, delivered))
-            hi_runs.append(run_pinned(n_hi, log_dir, delivered))
+            # a stalled/failed trial must not lose the completed ones —
+            # log it and keep going (best-of semantics are unaffected:
+            # a failure is just a missing sample)
+            for runs, n in ((lo_runs, n_lo), (hi_runs, n_hi)):
+                try:
+                    runs.append(run_pinned(n, log_dir, delivered))
+                except (RuntimeError, subprocess.TimeoutExpired) as exc:
+                    failures.append({"cores": n, "error": str(exc)[-300:]})
+        if not lo_runs or not hi_runs:
+            print(json.dumps({"error": "no completed trial pair",
+                              "failures": failures}))
+            return
         lo = min(lo_runs, key=lambda r: r["sec"])
         hi = min(hi_runs, key=lambda r: r["sec"])
         if trials > 1:
@@ -159,6 +174,7 @@ def main_pinned(events: int, n_lo: int, n_hi: int, trials: int) -> None:
             "pairs": [lo, hi],
             "core_factor": factor,
             "scaling_efficiency": round(eff, 3),
+            **({"trial_failures": failures} if failures else {}),
         }))
     finally:
         cleanup()

@@ -74,15 +74,13 @@ def cmd_stream(spark, args) -> None:
 def cmd_dedup_ingest(spark, args) -> None:
     """Streaming dedup-at-ingest (streaming/dedup_ingest.py): drop docs
     near-duplicating the accepted corpus, append + index survivors."""
-    import os
-
     from nostr_data_pipeline_spark.operators.dedup_index import MinHashIndex
     from nostr_data_pipeline_spark.streaming.dedup_ingest import (
         StreamingDedupIngest,
     )
     from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
 
-    if os.path.exists(os.path.join(args.index, "index_config.json")):
+    if MinHashIndex.exists(args.index):
         idx = MinHashIndex.open(args.index)
     else:
         idx = MinHashIndex.create(spark, args.index, num_buckets=args.buckets)
@@ -90,6 +88,7 @@ def cmd_dedup_ingest(spark, args) -> None:
                            num_buckets=args.buckets)
     job = StreamingDedupIngest(
         idx, corpus, args.docs, args.checkpoint,
+        stream_id=args.stream_id,
         threshold=args.threshold,
         max_files_per_trigger=args.mfpt,
         audit_dir=args.audit,
@@ -276,6 +275,11 @@ def main(argv=None) -> int:
                     dest="mfpt")
     sp.add_argument("--maintain-every", type=int, default=None,
                     dest="maintain_every")
+    sp.add_argument("--stream-id", default="dedup-ingest", dest="stream_id",
+                    help="marker namespace — give each SOURCE feeding the "
+                         "same corpus/index its own id, or their batch "
+                         "numbering collides and one source's batches are "
+                         "skipped as the other's replays")
 
     args = p.parse_args(argv)
     from nostr_data_pipeline_spark.session import get_spark

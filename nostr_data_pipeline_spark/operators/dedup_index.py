@@ -158,6 +158,12 @@ class MinHashIndex:
         return idx
 
     @classmethod
+    def exists(cls, path: str) -> bool:
+        """True iff a MinHashIndex was created at ``path`` (the config file
+        is written last in create(), so its presence implies both tables)."""
+        return os.path.exists(os.path.join(path, _CONFIG))
+
+    @classmethod
     def open(cls, path: str) -> "MinHashIndex":
         with open(os.path.join(path, _CONFIG)) as f:
             cfg = json.load(f)

@@ -119,35 +119,67 @@ class StreamingDedupIngest:
                 "maxFilesPerTrigger", self.max_files_per_trigger)
         return reader.parquet(self.doc_dir)
 
+    def _marker_id(self) -> str:
+        """Marker key scoped to THIS checkpoint incarnation. Batch ids are
+        only meaningful within one checkpoint: a fresh/replaced checkpoint
+        restarts at batch 0 with a possibly different file-to-batch
+        assignment, so comparing its ids against an old marker could skip
+        never-ingested files (silent data loss). Scoping the marker makes a
+        new checkpoint re-process from scratch instead — harmless, because
+        every downstream merge is key-idempotent and seq-guarded and the
+        kept-set is replay-stable (module docstring): re-ingestion converges
+        to the identical state, it just does the work again."""
+        import hashlib
+
+        ck = hashlib.sha256(
+            os.path.abspath(self.checkpoint_dir).encode()).hexdigest()[:8]
+        return f"{self.stream_id}@{ck}"
+
     def _apply(self, batch: DataFrame, batch_id: int) -> None:
+        marker = self._marker_id()
         # corpus marker = the batch's overall exactly-once gate (the index
         # tables keep their own; see module docstring for why any partial
         # interleaving converges)
         m = self.corpus.manifest() if self.corpus.exists() else None
-        last = (m or {}).get("commits", {}).get(self.stream_id)
+        last = (m or {}).get("commits", {}).get(marker)
         if last is not None and batch_id <= last:
             self.batch_metrics.append(
                 {"batch_id": batch_id, "skipped_replay": True})
             return
+        # normalize seq ONCE for every consumer: the index's seq guard and
+        # the corpus merge must see the SAME value, or a null-seq stream
+        # lets the corpus row advance on the text tie-break while the index
+        # signature can never be replaced — silent corpus/index divergence
+        batch = batch.withColumn(
+            "seq", F.coalesce(F.col("seq"), F.lit(0)).cast("long"))
         res = self.index.ingest(
             batch.sparkSession, batch,
             id_col="doc_id", text_col="text", seq_col="seq",
             threshold=self.threshold,
-            stream_id=self.stream_id, batch_id=batch_id,
+            stream_id=marker, batch_id=batch_id,
         )
         if self.audit_dir:
             # overwrite-per-batch_id: a replayed batch rewrites its audit
             res["pairs"].write.mode("overwrite").parquet(
                 os.path.join(self.audit_dir, f"batch_id={batch_id}"))
-        kept = res["kept"].select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("text"),
-            F.coalesce(F.col("seq"), F.lit(0)).cast("long").alias("seq"),
+        # collapse to ONE row per kept doc — an at-least-once source can
+        # deliver a doc twice in one batch (redelivery or revisions), and
+        # the MERGE requires a unique key per source row. Winner rule
+        # (seq, text) matches the index's own per-doc resolution
+        # (MinHashIndex._sig_frame), so corpus text == indexed text.
+        kept = (
+            res["kept"].select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("text"), F.col("seq"))
+            .groupBy("doc_id")
+            .agg(F.max_by(F.col("text"),
+                          F.struct(F.col("seq"), F.col("text"))).alias("text"),
+                 F.max("seq").alias("seq"))
         )
         cm = self.corpus.merge(
             batch.sparkSession, kept,
             seq_col="seq", tie_col="text",
-            stream_id=self.stream_id, batch_id=batch_id,
+            stream_id=marker, batch_id=batch_id,
             extra_metrics={
                 "docs_in": res["metrics"]["docs_in"],
                 "docs_dropped": res["metrics"]["docs_dropped"],
@@ -155,8 +187,11 @@ class StreamingDedupIngest:
         )
         self.batch_metrics.append(
             {"batch_id": batch_id, **res["metrics"],
-             "corpus_rows_written": cm.get("rows_written",
-                                           cm.get("rows_inserted", 0))})
+             # batch CONTRIBUTION, not rewritten-file row counts (a CoW
+             # merge's rows_written includes unchanged carried rows)
+             "corpus_rows_written": sum(
+                 cm.get(k, 0) or 0
+                 for k in ("rows_inserted", "rows_updated", "rows_deleted"))})
         self._applied += 1
         if self.maintain_every and self._applied % self.maintain_every == 0:
             spark = batch.sparkSession

@@ -89,14 +89,28 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
         threshold=0.5, max_files_per_trigger=1)
     job2.run_to_completion(spark)
     assert corpus.current_version() == v1
-    # a fresh checkpoint replaying the SAME files is also a no-op: the
-    # corpus batch marker skips replayed batch ids
+    # a FRESH checkpoint gets its own marker namespace (batch ids are only
+    # meaningful within one checkpoint — reusing an old marker could skip
+    # never-ingested files), so it re-processes; the seq-guarded merges
+    # and the replay-stable kept-set make that converge to the IDENTICAL
+    # corpus state, just with re-done work
     job3 = StreamingDedupIngest(
         idx, corpus, docs, str(tmp_path / "ckpt2"),
         threshold=0.5, max_files_per_trigger=1)
     m3 = job3.run_to_completion(spark)
-    assert corpus.current_version() == v1
-    assert all(m.get("skipped_replay") for m in m3)
+    assert not any(m.get("skipped_replay") for m in m3)
+    rows = corpus.read(spark).select("doc_id", "text", "seq").collect()
+    assert sorted((r["doc_id"], r["text"], r["seq"]) for r in rows) == [
+        (1, BASE % "alpha", 1)]
+    # and new files arriving for the fresh checkpoint ARE ingested (the
+    # data-loss shape the old cross-checkpoint marker comparison had)
+    _write_docs(spark, docs, [(9, "brand new content arriving after the "
+                                  "checkpoint was replaced entirely", 2)])
+    job4 = StreamingDedupIngest(
+        idx, corpus, docs, str(tmp_path / "ckpt2"),
+        threshold=0.5, max_files_per_trigger=1)
+    job4.run_to_completion(spark)
+    assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) == [1, 9]
 
 
 def test_corpus_key_guard(spark, tmp_path):
@@ -145,3 +159,21 @@ def test_maintain_every_runs_index_maintenance(spark, tmp_path):
     bands = idx.bands_table.read(spark, seq_col="seq")
     assert bands.filter(F.col("seq") < 2).count() == 0
     assert bands.filter(F.col("seq") == 2).count() > 0
+
+
+def test_two_revisions_of_one_doc_in_one_batch(spark, tmp_path):
+    """An at-least-once source delivering two revisions of one doc in a
+    single micro-batch must yield ONE corpus row — the (seq, text) winner,
+    matching the signature the index stored (MinHashIndex._sig_frame uses
+    the same rule)."""
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, [
+        (5, "first revision of the document body " * 3, 1),
+        (5, "second revision entirely different content " * 3, 2),
+        (5, "second revision entirely different content " * 3, 2),  # redelivery
+    ])
+    idx, corpus, job = _mk(spark, tmp_path)
+    job.run_to_completion(spark)
+    rows = corpus.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["seq"] == 2 and rows[0]["text"].startswith("second")
