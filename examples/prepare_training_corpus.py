@@ -5,7 +5,10 @@ a 100 TB pipeline would run them.
   2. near-duplicate pairs (n-gram Jaccard here; swap in MinHash-LSH /
      SimHash / embedding-cosine for corpus scale — same pair shape),
   3. connected components -> canonical election (keep one doc per cluster),
-  4. token accounting over the kept corpus (whitespace + BPE-style).
+  4. token accounting over the kept corpus (whitespace + BPE-style),
+  5. STREAMING dedup-at-ingest: the same dedup running at the corpus front
+     door — new micro-batches checked against the persisted MinHashIndex,
+     survivors appended + indexed, exactly-once.
 
 Run:  python examples/prepare_training_corpus.py [sf_dir]
 """
@@ -53,6 +56,36 @@ def main() -> None:
     print(f"minhash-lsh route: {n_dupes} non-canonical near-dupes removed")
 
     release_dedup_caches()
+
+    # --- 5. the same dedup as a STREAMING front door -----------------------
+    import tempfile
+
+    from nostr_data_pipeline_spark.operators.dedup_index import MinHashIndex
+    from nostr_data_pipeline_spark.streaming.dedup_ingest import (
+        DOC_SCHEMA,
+        StreamingDedupIngest,
+    )
+    from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="ingest-demo-")
+    stream_docs = os.path.join(tmp, "docs")
+    # two "arriving" micro-batch files; the second near-duplicates the first
+    docs.select("doc_id", "text", F.lit(1).cast("long").alias("seq")) \
+        .limit(200).coalesce(1).write.parquet(stream_docs)
+    docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+                F.lit(2).cast("long").alias("seq")) \
+        .limit(50).coalesce(1).write.mode("append").parquet(stream_docs)
+    job = StreamingDedupIngest(
+        MinHashIndex.create(spark, os.path.join(tmp, "idx"), num_buckets=4),
+        SnapshotTable(os.path.join(tmp, "corpus"), key_cols=("doc_id",),
+                      num_buckets=4),
+        stream_docs, os.path.join(tmp, "ckpt"),
+        threshold=0.5, max_files_per_trigger=1,
+    )
+    for m in job.run_to_completion(spark):
+        print(f"ingest batch {m['batch_id']}: in={m.get('docs_in')} "
+              f"dropped={m.get('docs_dropped')} kept={m.get('docs_kept')}")
+
     spark.stop()
 
 
