@@ -90,6 +90,7 @@ def cmd_dedup_ingest(spark, args) -> None:
         idx, corpus, args.docs, args.checkpoint,
         stream_id=args.stream_id,
         threshold=args.threshold,
+        accept_filter=args.accept_filter,
         max_files_per_trigger=args.mfpt,
         audit_dir=args.audit,
         maintain_every=args.maintain_every,
@@ -275,6 +276,9 @@ def main(argv=None) -> int:
                     dest="mfpt")
     sp.add_argument("--maintain-every", type=int, default=None,
                     dest="maintain_every")
+    sp.add_argument("--accept-filter", default=None, dest="accept_filter",
+                    help="SQL predicate gating docs BEFORE dedup, e.g. "
+                         "\"length(text) > 64\"")
     sp.add_argument("--stream-id", default="dedup-ingest", dest="stream_id",
                     help="marker namespace — give each SOURCE feeding the "
                          "same corpus/index its own id, or their batch "

@@ -76,6 +76,7 @@ class StreamingDedupIngest:
         audit_dir: str | None = None,
         source_factory=None,
         maintain_every: int | None = None,
+        accept_filter: str | None = None,
     ):
         """``corpus`` must be keyed by ``doc_id`` (created here if absent).
         ``audit_dir``: optional rejection audit — each micro-batch's
@@ -83,6 +84,13 @@ class StreamingDedupIngest:
         per-batch_id subdirectory written with overwrite semantics, so a
         replayed batch rewrites its own audit instead of duplicating it
         (the jobs.py router discipline).
+
+        ``accept_filter``: optional SQL predicate applied to each batch
+        BEFORE dedup (e.g. a quality/language gate —
+        ``functions.content.quality_score`` composes here). Cheapest-first
+        ordering: a filtered-out doc never pays shingling, hashing, or an
+        index probe, the corpus_prepare discipline applied at the stream
+        head. Filtered docs are neither indexed nor audited.
 
         ``maintain_every``: every k APPLIED batches (process-local count,
         advisory — unlike the replayer's fold cadence this maintenance is
@@ -107,6 +115,7 @@ class StreamingDedupIngest:
         self.audit_dir = audit_dir
         self.source_factory = source_factory
         self.maintain_every = maintain_every
+        self.accept_filter = accept_filter
         self._applied = 0
         self.batch_metrics: list[dict[str, Any]] = []
 
@@ -152,6 +161,13 @@ class StreamingDedupIngest:
         # signature can never be replaced — silent corpus/index divergence
         batch = batch.withColumn(
             "seq", F.coalesce(F.col("seq"), F.lit(0)).cast("long"))
+        n_rejected = 0
+        if self.accept_filter:
+            # cheapest gate first: a rejected doc never pays shingling,
+            # hashing, or an index probe
+            before = batch.count()
+            batch = batch.filter(F.expr(self.accept_filter))
+            n_rejected = before - batch.count()
         res = self.index.ingest(
             batch.sparkSession, batch,
             id_col="doc_id", text_col="text", seq_col="seq",
@@ -187,6 +203,7 @@ class StreamingDedupIngest:
         )
         self.batch_metrics.append(
             {"batch_id": batch_id, **res["metrics"],
+             "docs_filtered": n_rejected,
              # batch CONTRIBUTION, not rewritten-file row counts (a CoW
              # merge's rows_written includes unchanged carried rows)
              "corpus_rows_written": sum(

@@ -177,3 +177,25 @@ def test_two_revisions_of_one_doc_in_one_batch(spark, tmp_path):
     rows = corpus.read(spark).collect()
     assert len(rows) == 1
     assert rows[0]["seq"] == 2 and rows[0]["text"].startswith("second")
+
+
+def test_accept_filter_gates_before_dedup(spark, tmp_path):
+    """Docs failing accept_filter are rejected before any hashing: not in
+    the corpus, not in the index, counted in docs_filtered."""
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, [
+        (1, "long enough document body to pass the quality gate " * 2, 1),
+        (2, "short", 1),  # fails the filter
+    ])
+    idx = MinHashIndex.create(spark, str(tmp_path / "idx"), num_buckets=4)
+    corpus = SnapshotTable(str(tmp_path / "corpus"), key_cols=("doc_id",),
+                           num_buckets=4)
+    job = StreamingDedupIngest(
+        idx, corpus, docs, str(tmp_path / "ckpt"),
+        threshold=0.5, max_files_per_trigger=1,
+        accept_filter="length(text) > 32")
+    metrics = job.run_to_completion(spark)
+    assert metrics[0]["docs_filtered"] == 1
+    assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) == [1]
+    assert idx.sigs_table.read(spark, seq_col="seq").filter(
+        F.col("doc_id") == 2).count() == 0
