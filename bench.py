@@ -119,6 +119,7 @@ def main() -> None:
         # the timing now covers the oracle-portable contract form; the
         # xxhash64 production mode is strictly cheaper per hash)
         "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_incremental_embedding",
     ]
     # untimed warm-up: JVM codegen + python workers (not any query's cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000).count()

@@ -1365,6 +1365,51 @@ ORDER BY hamming, id1, id2
 """
 
 
+def _emb_index_sql(dim: int = 64, n_planes: int = 8, seed: int = 42,
+                   threshold: float = 0.4, probe_flips: int = 1) -> str:
+    """DuckDB replica of the dedup_incremental_embedding contract query
+    (EmbeddingIndex: index even vec_ids, check odd vec_ids). Hyperplanes
+    inline as literals (the _emb_dedup_sql precedent — dots sum in the same
+    index order so doubles agree exactly); the multiprobe candidate rule is
+    hamming(bucketA, bucketB) <= probe_flips, expressed as
+    bit_count(xor(...)); accept/reject is EXACT rounded cosine — the same
+    decision EmbeddingIndex.check makes against its PERSISTED tables, so a
+    value match proves the store-merge-probe-fetch path."""
+    from nostr_data_pipeline_spark.operators.dedup import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_lits = ", ".join(
+        "[" + ",".join(repr(float(x)) for x in p) + f"]::DOUBLE[] AS p{i}"
+        for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, pl.p{i}) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    cos = ("round(list_dot_product(a.v, d.v) / "
+           "(sqrt(list_dot_product(a.v, a.v)) * "
+           "sqrt(list_dot_product(d.v, d.v))), 4)")
+    return f"""
+WITH pl AS (SELECT {plane_lits}),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM base, pl),
+idxv AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+newv AS (SELECT * FROM b WHERE vec_id % 2 = 1),
+p AS (
+  SELECT a.vec_id, d.vec_id AS dup_of, {cos} AS cos_sim, 'index' AS dup_src
+  FROM newv a JOIN idxv d
+    ON bit_count(xor(a.bucket::bigint, d.bucket::bigint)) <= {probe_flips}
+  UNION ALL
+  SELECT a.vec_id, d.vec_id AS dup_of, {cos} AS cos_sim, 'batch' AS dup_src
+  FROM newv a JOIN newv d
+    ON bit_count(xor(a.bucket::bigint, d.bucket::bigint)) <= {probe_flips}
+   AND a.vec_id > d.vec_id
+)
+SELECT vec_id, dup_of, cos_sim, dup_src
+FROM p WHERE cos_sim >= {threshold} ORDER BY vec_id, dup_of
+"""
+
+
 def _emb_dedup_sql() -> str:
     """DuckDB replica of embedding_near_duplicates(threshold=0.5): the
     deterministic hyperplanes (seeded numpy) are inlined as list literals so
@@ -1521,6 +1566,14 @@ def _q_dedup_incremental(spark, sf_dir):
     from nostr_data_pipeline_spark.operators.dedup import q_dedup_incremental
 
     return q_dedup_incremental(spark, sf_dir)
+
+
+def _q_dedup_incremental_embedding(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.dedup import (
+        q_dedup_incremental_embedding,
+    )
+
+    return q_dedup_incremental_embedding(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1735,6 +1788,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # oracle-portable md5 mode — the DuckDB replica recomputes signatures
     # from raw documents, value-checking the whole persisted-index path
     "dedup_incremental": (_q_dedup_incremental, _dedup_incremental_sql()),
+    "dedup_incremental_embedding": (_q_dedup_incremental_embedding,
+                                    _emb_index_sql()),
     "corpus_prepare": (corpus_prepare, CORPUS_PREPARE_SQL),
     "corpus_split": (corpus_split, CORPUS_SPLIT_SQL),
     "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),

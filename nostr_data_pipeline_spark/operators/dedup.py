@@ -816,6 +816,34 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_near_duplicates(_load(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
+def q_dedup_incremental_embedding(spark, sf_dir):
+    """Vector-space dedup-at-ingest contract query: index the even-id half
+    of the embeddings table in a throwaway EmbeddingIndex, check the odd-id
+    half (plus within-batch pairs) with exact-cosine verification. Fully
+    oracled: the hyperplanes are deterministic literals and the multiprobe
+    candidate rule is bit_count(xor(buckets)) <= probe_flips — both
+    reproducible in DuckDB (analytics._emb_index_sql())."""
+    import shutil
+    import tempfile
+
+    from nostr_data_pipeline_spark.operators.embedding_index import (
+        EmbeddingIndex,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="embidx_")
+    try:
+        idx = EmbeddingIndex.create(spark, tmp, dim=64, n_planes=8,
+                                    num_buckets=4)
+        idx.add(spark, base)
+        return idx.check(spark, new, threshold=0.4, probe_flips=1) \
+            .orderBy("vec_id", "dup_of")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     from nostr_data_pipeline_spark.operators.similarity import ann_lsh_topk
 
