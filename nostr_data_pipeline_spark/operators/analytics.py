@@ -1522,6 +1522,83 @@ def _q_ann_lsh(spark, sf_dir):
     return q_ann_lsh_topk(spark, sf_dir)
 
 
+def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 4, k: int = 10,
+                 iters: int = 10, sample: int = 2048, dim: int = 64) -> str:
+    """DuckDB replica of ann_ivf_topk(k=10, n_cells=8, n_probe=4): the whole
+    codebook — spread init (sample rank (i*n)//n_cells) plus the Lloyd
+    iterations — is recomputed in a recursive CTE, so the oracle is a pure
+    function of the table at ANY scale factor (nothing data-dependent is
+    baked into the SQL). One recursion step = one k-means iteration:
+    cross-join sample×centroids, pick each row's argmax cell (dot-product
+    ties break to the lowest cell, matching np.argmax), then per-cell
+    renormalized member means; empty cells keep their old centroid.
+    Assignment margins measured ≥8e-7 across all test SFs — far above
+    float64 summation-order noise, so the SQL and numpy argmax agree."""
+    avg_terms = ", ".join(
+        f"avg(v[{d}]) FILTER (WHERE is_best)" for d in range(1, dim + 1)
+    )
+    return f"""
+WITH RECURSIVE
+samp AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rnk,
+         list_transform(e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)) AS v
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings ORDER BY vec_id LIMIT {sample})
+),
+nrows AS (SELECT count(*) AS n FROM samp),
+cent AS (
+  SELECT 0 AS it, CAST(t.i AS INTEGER) AS cell, s.v AS c
+  FROM range({n_cells}) t(i), nrows n, samp s
+  WHERE s.rnk = (t.i * n.n) // {n_cells}
+  UNION ALL
+  SELECT it, cell,
+         CASE WHEN m IS NULL THEN oldc
+              ELSE list_transform(m, x -> x / greatest(sqrt(list_dot_product(m, m)), 1e-12))
+         END AS c
+  FROM (
+    SELECT it + 1 AS it, cell,
+           CASE WHEN count(*) FILTER (WHERE is_best) > 0
+                THEN [{avg_terms}] ELSE NULL END AS m,
+           any_value(c) AS oldc
+    FROM (
+      SELECT s.rnk, s.v, ct.cell, ct.c, ct.it,
+             row_number() OVER (PARTITION BY s.rnk
+                                ORDER BY list_dot_product(s.v, ct.c) DESC, ct.cell) = 1 AS is_best
+      FROM samp s, cent ct
+      WHERE ct.it < {iters}
+    )
+    GROUP BY 1, 2
+  )
+),
+final AS (SELECT cell, c FROM cent WHERE it = {iters}),
+base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+qv AS (SELECT v FROM base WHERE id = 0),
+assigned AS (
+  SELECT b.id, b.v, f.cell,
+         row_number() OVER (PARTITION BY b.id
+                            ORDER BY list_dot_product(b.v, f.c) DESC, f.cell) AS rn
+  FROM base b, final f
+),
+probe AS (
+  SELECT f.cell FROM final f, qv
+  ORDER BY list_dot_product(qv.v, f.c) DESC, f.cell LIMIT {n_probe}
+)
+SELECT a.id,
+       round(list_dot_product(a.v, qv.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv.v, qv.v))),
+             6) AS cos_sim
+FROM assigned a, qv
+WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+ORDER BY cos_sim DESC, id LIMIT {k}
+"""
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from nostr_data_pipeline_spark.operators.dedup import q_ann_ivf_topk
+
+    return q_ann_ivf_topk(spark, sf_dir)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from nostr_data_pipeline_spark.operators.dedup import q_ngram_jaccard
 
@@ -1795,8 +1872,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding_cosine": (_q_dedup_embedding, _emb_dedup_sql()),
     "a15_rollup": (a15_rollup, A15_SQL),
     "ann_lsh_topk": (_q_ann_lsh, _ann_lsh_sql()),
+    # graduated in round 4: RNG-free spread init makes the k-means codebook
+    # SQL-replicable (recursive CTE), so the IVF path is fully oracled too
+    "ann_ivf_topk": (_q_ann_ivf, _ann_ivf_sql()),
     "s1_set_ops": (s1_set_ops, S1_SETOPS_SQL),
     "w4_running_total": (w4_running_total, W4_SQL),
     "u1_user_stats": (u1_user_stats, U1_SQL),
     "mor_upsert_resolve": (mor_upsert_resolve, MOR_UPSERT_SQL),
 }
+
+# round-4 corpus-hygiene operators (decontamination, token-budget mixing,
+# Gopher repetition rules, sequence packing) live in operators/corpus.py —
+# imported at the bottom so corpus.py can lazily reuse load()/STOPWORDS
+from nostr_data_pipeline_spark.operators.corpus import CORPUS_QUERIES  # noqa: E402
+
+QUERIES.update(CORPUS_QUERIES)

@@ -1,0 +1,375 @@
+"""Training-corpus preparation operators beyond the dedup family:
+benchmark decontamination, token-budget data mixing, repetition-based
+quality filtering (Gopher-style), and fixed-budget sequence packing.
+
+These are beyond-reference operators (the reference pipeline has no notion
+of training-set hygiene); their semantics follow the public literature:
+n-gram overlap decontamination (GPT-3 appendix C's 13-gram rule, scaled to
+the demo corpus), repetition rules from Gopher (Rae et al. 2021, table A1),
+and sequence packing as practiced in T5/LLM pretraining. Every operator is
+a declarative DataFrame plan except the greedy packer, which is inherently
+sequential per bin-group and runs as ``applyInPandas`` over hash groups —
+embarrassingly parallel across groups, pandas-vectorized within.
+
+Scale notes per operator are on the functions; the common theme: the
+corpus never shuffles on text — only narrow (id, gram/token-count) columns
+move, and the one broadcast (the eval-set gram set) is small by
+construction (benchmarks are thousands of docs, not billions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _ws_tokens(text_col: str = "text") -> F.Column:
+    """Whitespace tokenizer — same rule as analytics.token_counts so all
+    corpus operators agree on what a token is."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def ngram_set(df: DataFrame, n: int = 5, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document DISTINCT lowercase word n-grams as (id, gram) rows.
+
+    Docs shorter than ``n`` tokens contribute nothing — the ``when`` guard
+    matters because ``sequence(1, size-n+1)`` would happily generate a
+    DESCENDING sequence for short docs and emit garbage grams.
+    """
+    tk = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - n + 1),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 5,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: training docs sharing ANY word n-gram with
+    the eval set, with the count of distinct overlapping grams. Callers drop
+    (or flag) the returned ids before training.
+
+    Scale shape: the eval side is distinct-deduped and BROADCAST (eval sets
+    are small by construction); the train side streams map-side through the
+    broadcast hash join, so the only shuffle is the per-doc hit count over
+    the MATCHING (id, gram) rows — contaminated grams only, a vanishing
+    fraction of the corpus. The corpus text itself never shuffles.
+    """
+    eval_grams = ngram_set(eval_df, n, id_col, text_col).select("gram").distinct()
+    train_grams = ngram_set(train, n, id_col, text_col)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))  # grams pre-deduped per doc
+        .orderBy(id_col)
+    )
+
+
+def select_token_budget(df: DataFrame, budget: int, group_col: str = "lang",
+                        order_col: str = "quality", id_col: str = "doc_id",
+                        token_col: str = "n_tokens") -> DataFrame:
+    """Data mixing: keep the best docs per group until a token budget fills.
+
+    Within each group, docs are ranked (``order_col`` desc, id asc for
+    determinism) and kept while the running token sum stays within
+    ``budget`` — the standard per-language / per-source token-budget
+    sampler for assembling a training mix.
+
+    Scale shape: one shuffle — the per-group window. Group cardinality is
+    tiny (languages/sources) so per-group skew is real at 100 TB; the
+    mitigation is the same as any giant window: pre-aggregate to (doc,
+    tokens, rank-key) FIRST so only narrow rows shuffle (done here — the
+    text column is dropped before the window), and let AQE split the
+    oversized partitions.
+    """
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    narrow = df.select(group_col, id_col, order_col, token_col)
+    return (
+        narrow.withColumn("cum_tokens", F.sum(token_col).over(win))
+        .filter(F.col("cum_tokens") <= budget)
+        .orderBy(group_col, "cum_tokens")
+    )
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_dup_token_frac: float = 0.50,
+                       max_top_bigram_frac: float = 0.20) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021, table A1 analogue):
+    per-doc duplicate-token fraction and the fraction of tokens covered by
+    the single most frequent bigram, plus a pass flag. (Thresholds are
+    knobs; the defaults suit the short synthetic demo docs — Gopher's
+    published numbers target long-form web text.)
+
+    The bigram mode is computed WITHOUT a shuffle: sort the bigram array,
+    then a single ``aggregate`` fold counts the longest equal run — the
+    whole metric evaluates inside codegen per row. (The naive plan explodes
+    bigrams and double-aggregates: two shuffles proportional to corpus
+    token count. This one shuffles nothing.)
+    """
+    tk = _ws_tokens(text_col)
+    nt = F.size(tk)
+    dup_frac = F.when(
+        nt > 0, 1.0 - F.size(F.array_distinct(tk)) / nt.cast("double")
+    ).otherwise(0.0)
+
+    bigrams = F.when(
+        nt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nt - 1),
+            lambda i: F.array_join(F.slice(tk, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_big = F.aggregate(F.array_sort(bigrams), acc0, _step, lambda a: a["best"])
+    top_bigram_frac = F.when(
+        nt >= 2, 2.0 * max_big / nt.cast("double")
+    ).otherwise(0.0)
+
+    out = df.select(
+        F.col(id_col),
+        nt.cast("long").alias("n_tokens"),
+        F.round(dup_frac, 4).alias("dup_token_frac"),
+        F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    ).orderBy(id_col)
+
+
+_PACK_SCHEMA = "doc_id long, grp long, seq long, n_tokens long"
+
+
+def pack_sequences(df: DataFrame, budget: int = 256, n_groups: int = 8,
+                   id_col: str = "doc_id", token_col: str = "n_tokens") -> DataFrame:
+    """Greedy fixed-budget sequence packing: assign docs to training
+    sequences of at most ``budget`` tokens. Greedy next-fit is inherently
+    sequential, so the corpus is first hashed into ``n_groups`` independent
+    bin-groups (md5 of the id — content-independent, stable across runs and
+    partitionings) and the greedy scan runs per group in ``applyInPandas``:
+    embarrassingly parallel across groups, one vectorized pandas pass
+    within. A doc larger than the budget gets a sequence of its own (the
+    packer never splits docs — chunk upstream if needed).
+
+    At 100 TB ``n_groups`` scales with the cluster (it is the parallelism
+    AND the number of concurrent output shards); only (id, tokens) ever
+    shuffles — never text.
+    """
+    grp = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("long") % n_groups
+    )
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        grp.alias("grp"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf):
+        # self-contained closure (imports inside): the driver gate may pickle
+        # this by value into a worker with no surrounding module state
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs = []
+        seq, cum = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if cum > 0 and cum + t > budget:
+                seq += 1
+                cum = 0
+            cum += t
+            seqs.append(seq)
+        pdf["seq"] = pd.Series(seqs, dtype="int64")
+        return pdf[["doc_id", "grp", "seq", "n_tokens"]]
+
+    return narrow.groupBy("grp").applyInPandas(_pack, _PACK_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# contract queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Demo split: docs with doc_id % 13 == 0 play the benchmark set, the
+    rest the training corpus; 5-gram overlap (the GPT-3 rule uses 13-grams
+    on web-scale text; 5 suits the short demo docs)."""
+    d = _load(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    return decontaminate(train, eval_df, n=5)
+
+
+CORPUS_DECONTAMINATE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(tk) >= 5
+           THEN [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk)-5+2)]
+           ELSE [] END)) AS gram
+  FROM tok
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 13 = 0
+)
+SELECT g.doc_id, count(*) AS n_hits
+FROM grams g JOIN ev USING (gram)
+WHERE g.doc_id % 13 <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+def q_corpus_mix_budget(spark, sf_dir):
+    """Per-language token-budget mix: best-quality docs first (the
+    corpus_prepare quality formula), keep while the language's running
+    token sum stays within 2000."""
+    from nostr_data_pipeline_spark.operators.analytics import STOPWORDS
+
+    d = _load(spark, sf_dir, "documents")
+    tk = _ws_tokens()
+    nt = F.size(tk)
+    n_stop = F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.when(nt > 0, n_stop / nt).otherwise(0.0)
+    quality = F.round(
+        0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * stop_ratio, 4
+    )
+    scored = d.select(
+        "doc_id", "lang", quality.alias("quality"), nt.cast("long").alias("n_tokens")
+    )
+    return select_token_budget(scored, budget=2000)
+
+
+CORPUS_MIX_BUDGET_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(0.5 * least(n_chars, 500) / 500.0 +
+               0.5 * CASE WHEN nt > 0 THEN ns / CAST(nt AS DOUBLE) ELSE 0.0 END,
+               4) AS quality,
+         CAST(nt AS BIGINT) AS n_tokens
+  FROM (
+    SELECT *, len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t IN ('the','a','of','and'))) AS ns
+    FROM documents
+  )
+), cum AS (
+  SELECT lang, doc_id, quality, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT lang, doc_id, quality, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= 2000
+ORDER BY lang, cum_tokens
+"""
+
+
+def q_gopher_repetition(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return repetition_metrics(d)
+
+
+GOPHER_REPETITION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+), big AS (
+  SELECT doc_id, len(tk) AS nt,
+         CASE WHEN len(tk) > 0
+              THEN 1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+              ELSE 0.0 END AS dup_frac,
+         CASE WHEN len(tk) >= 2
+              THEN [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]
+              ELSE [] END AS bigrams
+  FROM tok
+), modecnt AS (
+  SELECT doc_id, max(c) AS max_big FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS g FROM big)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens,
+       round(b.dup_frac, 4) AS dup_token_frac,
+       round(CASE WHEN b.nt >= 2
+                  THEN 2.0 * coalesce(m.max_big, 0) / b.nt
+                  ELSE 0.0 END, 4) AS top_bigram_frac,
+       (round(b.dup_frac, 4) <= 0.50 AND
+        round(CASE WHEN b.nt >= 2
+                   THEN 2.0 * coalesce(m.max_big, 0) / b.nt
+                   ELSE 0.0 END, 4) <= 0.20) AS passes
+FROM big b LEFT JOIN modecnt m USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    withtok = d.select(
+        "doc_id", F.size(_ws_tokens()).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(withtok, budget=256, n_groups=8)
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8 AS grp,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (
+           PARTITION BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8
+           ORDER BY doc_id) AS rn
+  FROM documents
+), pack(grp, rn, doc_id, n_tokens, seq, cum) AS (
+  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.cum > 0 AND p.cum + d.n_tokens > 256
+              THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.cum > 0 AND p.cum + d.n_tokens > 256
+              THEN d.n_tokens ELSE p.cum + d.n_tokens END
+  FROM pack p JOIN docs d ON d.grp = p.grp AND d.rn = p.rn + 1
+)
+SELECT doc_id, grp, seq, n_tokens FROM pack ORDER BY doc_id
+"""
+
+
+CORPUS_QUERIES = {
+    "corpus_decontaminate": (q_corpus_decontaminate, CORPUS_DECONTAMINATE_SQL),
+    "corpus_mix_budget": (q_corpus_mix_budget, CORPUS_MIX_BUDGET_SQL),
+    "gopher_repetition": (q_gopher_repetition, GOPHER_REPETITION_SQL),
+    "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
+}

@@ -889,11 +889,15 @@ def q_multimodal_features(spark, sf_dir):
 # hyperplanes inline as literals; probe set = bit_count of bucket XOR).
 # dedup_minhash_lsh and dedup_simhash graduated in round 4: their contract
 # entries run hash64's oracle-portable md5 mode, reproducible in DuckDB SQL
-# (analytics._minhash_md5_sql() / _simhash_md5_sql()) — registered there. The
-# remaining rows-only entries are genuinely non-SQL: ann_ivf_topk's codebook
-# is a driver-side k-means artifact, multimodal_features is a binary-column
-# mapInPandas pipeline; both carry exact replica fixtures in tests/.
+# (analytics._minhash_md5_sql() / _simhash_md5_sql()) — registered there.
+# ann_ivf_topk also graduated in round 4: spread init (rank (i*n)//k, no RNG)
+# makes the whole codebook — init + Lloyd iterations — replicable in a
+# recursive CTE (analytics._ann_ivf_sql()). The remaining rows-only entry is
+# genuinely non-SQL: multimodal_features is a binary-column mapInPandas
+# pipeline whose feature vector is digested via sha256 of Spark's
+# double→string rendering (engine-specific float formatting, not portable
+# SQL); it carries an exact expected-vector replica fixture in
+# tests/test_multimodal.py instead.
 ROWS_ONLY_QUERIES = {
-    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }

@@ -87,7 +87,8 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
                         n_cells: int = 16, sample: int = 2048, seed: int = 42,
-                        iters: int = 10, id_col: str = "vec_id") -> np.ndarray:
+                        iters: int = 10, id_col: str = "vec_id",
+                        init: str = "spread") -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (the IVF codebook
     is tiny and global — training it centrally is the standard design).
 
@@ -95,15 +96,30 @@ def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
     partition-layout-dependent (repartitioning the same data would yield
     different centroids); ordering by the id makes the codebook a pure
     function of the data. At scale the sort is a top-k
-    (TakeOrderedAndProject over a 2-column projection), not a full sort."""
+    (TakeOrderedAndProject over a 2-column projection), not a full sort.
+
+    ``init='spread'`` (default) seeds cell *i* with the sample row at rank
+    ``(i*n)//n_cells`` — RNG-free, so the whole codebook (init + Lloyd
+    iterations) is replicable in plain SQL; this is what lets the
+    ``ann_ivf_topk`` contract query carry a full DuckDB oracle. Ids are
+    uncorrelated with cluster structure, so rank-spread seeding behaves
+    like a fixed random draw. ``init='random'`` keeps the seeded-RNG draw
+    for users who want k-means-style random restarts (``seed`` is only
+    used there)."""
     rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(sample)
         .toPandas()[vec_col].tolist()
     )
     X = np.asarray(rows, dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    k = min(n_cells, len(X))
+    if init == "spread":
+        C = X[[(i * len(X)) // k for i in range(k)]].copy()
+    elif init == "random":
+        rng = np.random.default_rng(seed)
+        C = X[rng.choice(len(X), size=k, replace=False)]
+    else:
+        raise ValueError(f"unknown init {init!r} (want 'spread' or 'random')")
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized rows
         for c in range(len(C)):
@@ -116,11 +132,13 @@ def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
 
 def ann_ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_cells: int = 16, n_probe: int = 4, seed: int = 42) -> DataFrame:
+                 n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+                 init: str = "spread") -> DataFrame:
     """IVF: assign each vector to its nearest centroid cell (vectorized pandas
     UDF — one matmul per Arrow batch), probe the n_probe cells nearest to the
     query, exact cosine within."""
-    C = train_ivf_centroids(df, vec_col, n_cells=n_cells, seed=seed, id_col=id_col)
+    C = train_ivf_centroids(df, vec_col, n_cells=n_cells, seed=seed,
+                            id_col=id_col, init=init)
 
     @pandas_udf(IntegerType())
     def assign_cell(vs: pd.Series) -> pd.Series:  # pragma: no cover (executors)

@@ -1,0 +1,127 @@
+"""Behavior tests for operators/corpus.py — hand-computed values, packing
+invariants, and plan-shape assertions (broadcast on the eval side; the
+repetition metrics must not shuffle). Oracle parity for the four contract
+queries runs in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nostr_data_pipeline_spark.operators.corpus import (
+    decontaminate,
+    pack_sequences,
+    repetition_metrics,
+    select_token_budget,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_hand_example(spark):
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps over the dog"),   # shares a 5-gram
+        (2, "completely unrelated words here and there today"),
+        (3, "THE QUICK BROWN FOX JUMPS high"),            # case-folded hit
+        (4, "too short"),                                  # < 5 tokens: exempt
+    ])
+    ev = _docs(spark, [(100, "watch the quick brown fox jumps over everything")])
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, ev, n=5).collect()}
+    # doc 1 shares "the quick brown fox jumps" + "quick brown fox jumps over"
+    assert got == {1: 2, 3: 1}
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # the same contaminated 5-gram appearing twice in one doc counts once
+    train = _docs(spark, [(1, "a b c d e x a b c d e")])
+    ev = _docs(spark, [(9, "a b c d e")])
+    got = decontaminate(train, ev, n=5).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in got] == [(1, 1)]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = decontaminate(
+        d.filter("doc_id % 13 != 0"), d.filter("doc_id % 13 = 0")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_metrics_hand_values(spark):
+    df = _docs(spark, [
+        (1, "a a a b"),        # dup 1 - 2/4 = 0.5; bigram "a a" x2 -> 2*2/4 = 1.0
+        (2, "w x y z"),        # dup 0; every bigram unique -> 2*1/4 = 0.5
+        (3, "solo"),           # single token: no bigrams
+    ])
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert rows[1]["dup_token_frac"] == pytest.approx(0.5)
+    assert rows[1]["top_bigram_frac"] == pytest.approx(1.0)
+    assert not rows[1]["passes"]
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == pytest.approx(0.5)
+    assert rows[3]["top_bigram_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 1
+
+
+def test_repetition_metrics_no_shuffle(spark):
+    """The bigram mode is an array fold, not an explode+agg — the physical
+    plan must be exchange-free (scan -> project, all codegen)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        repetition_metrics(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the presentation orderBy adds a range exchange; the metric itself must
+    # not hash-shuffle (an explode+agg plan would)
+    assert "hashpartitioning" not in plan
+
+
+def test_select_token_budget_respects_budget_and_order(spark):
+    df = spark.createDataFrame(
+        [("en", 1, 0.9, 50), ("en", 2, 0.8, 40), ("en", 3, 0.95, 30),
+         ("en", 4, 0.1, 100), ("de", 5, 0.5, 60)],
+        "lang string, doc_id long, quality double, n_tokens long",
+    )
+    got = select_token_budget(df, budget=100).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["cum_tokens"]))
+    # en: quality order 3 (30), 1 (80), 2 would hit 120 > 100 -> excluded
+    assert by_lang["en"] == [(3, 30), (1, 80)]
+    assert by_lang["de"] == [(5, 60)]
+
+
+def test_pack_sequences_invariants(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    budget = 256
+    rows = pack_sequences(d, budget=budget, n_groups=8).collect()
+    assert len(rows) == d.count()
+    per_seq: dict = {}
+    for r in rows:
+        per_seq.setdefault((r["grp"], r["seq"]), []).append(r["n_tokens"])
+    for (_g, _s), toks in per_seq.items():
+        # a sequence either fits the budget or is a single oversized doc
+        assert sum(toks) <= budget or len(toks) == 1
+    # greedy next-fit never leaves room for the FIRST doc of the next seq
+    by_grp: dict = {}
+    for r in sorted(rows, key=lambda r: (r["grp"], r["seq"], r["doc_id"])):
+        by_grp.setdefault(r["grp"], []).append(r)
+    for g, rs in by_grp.items():
+        seqs = sorted({r["seq"] for r in rs})
+        assert seqs == list(range(len(seqs))), "seq ids are dense from 0"
+
+
+def test_pack_sequences_layout_independent(spark):
+    """Hash grouping is content-independent: repartitioning the input must
+    not change a single assignment."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    a = [tuple(r) for r in pack_sequences(d, budget=256).collect()]
+    b = [tuple(r) for r in pack_sequences(d.repartition(13), budget=256).collect()]
+    assert a == b

@@ -173,8 +173,9 @@ def ivf_expected(emb: pd.DataFrame, query, k=10, n_cells=8, n_probe=4,
     emb = emb.sort_values("vec_id").reset_index(drop=True)
     X = np.asarray(emb["embedding"].iloc[:sample].tolist(), dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    C = Xn[rng.choice(len(Xn), size=min(n_cells, len(Xn)), replace=False)]
+    # spread init — rank (i*n)//k of the sorted sample (similarity.py default)
+    kk = min(n_cells, len(Xn))
+    C = Xn[[(i * len(Xn)) // kk for i in range(kk)]].copy()
     for _ in range(iters):
         assign = np.argmax(Xn @ C.T, axis=1)
         for c in range(len(C)):
