@@ -120,6 +120,13 @@ def main() -> None:
         # xxhash64 production mode is strictly cheaper per hash)
         "dedup_minhash_lsh", "dedup_simhash",
         "dedup_incremental_embedding",
+        # graduated from ROWS_ONLY in round 4 (spread-init codebook is SQL-
+        # replicable) — keep it timed here since the registry move would
+        # otherwise silently drop it from the bench
+        "ann_ivf_topk",
+        # round-4 corpus-hygiene additions: the broadcast-decontaminate and
+        # hash-group packer are the two new distinct plan shapes
+        "corpus_decontaminate", "pack_sequences",
     ]
     # untimed warm-up: JVM codegen + python workers (not any query's cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000).count()
