@@ -608,15 +608,29 @@ ORDER BY virality DESC, user_id LIMIT 20
 """
 
 
+def quality_columns(text_col: str = "text", n_chars_col: str = "n_chars"):
+    """The document quality formula (length + stopword-ratio, the M5
+    analogue of metrics_calculator.py:181-226) as a (quality, n_tokens)
+    column pair — the ONE definition shared by text_quality,
+    corpus_prepare and corpus.q_corpus_mix_budget (three hand-synced
+    copies previously; their matching SQL strings must stay in lockstep
+    with this expression). Quality is returned UNROUNDED — callers round
+    where their contract requires it."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    quality = (
+        0.5 * F.least(F.col(n_chars_col), F.lit(500)) / 500.0 + 0.5 * stop_ratio
+    )
+    return quality, n_tokens
+
+
 def text_quality(spark, sf_dir):
     """Quality scoring: length + stopword-ratio formula (M5 analogue,
     metrics_calculator.py:181-226), aggregated per language."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
-    quality = 0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * stop_ratio
+    quality, n_tokens = quality_columns()
     return (
         d.select("lang", quality.alias("q"), n_tokens.alias("nt"))
         .groupBy("lang")
@@ -663,13 +677,8 @@ def corpus_prepare(spark, sf_dir):
     )
 
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
-    quality = F.round(
-        0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * stop_ratio, 4
-    )
+    raw_quality, n_tokens = quality_columns()
+    quality = F.round(raw_quality, 4)
     filt = d.select(
         "doc_id", "lang", "text", quality.alias("quality"), n_tokens.alias("n_tokens")
     ).filter((F.col("quality") >= 0.25) & F.col("lang").isin("en", "de", "es", "fr"))
@@ -1547,9 +1556,12 @@ samp AS (
 ),
 nrows AS (SELECT count(*) AS n FROM samp),
 cent AS (
+  -- k = min(n_cells, n): degenerate tables smaller than n_cells train one
+  -- centroid per row, exactly like the Python spread init
   SELECT 0 AS it, CAST(t.i AS INTEGER) AS cell, s.v AS c
   FROM range({n_cells}) t(i), nrows n, samp s
-  WHERE s.rnk = (t.i * n.n) // {n_cells}
+  WHERE t.i < least({n_cells}, n.n)
+    AND s.rnk = (t.i * n.n) // least({n_cells}, n.n)
   UNION ALL
   SELECT it, cell,
          CASE WHEN m IS NULL THEN oldc
@@ -1883,7 +1895,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 
 # round-4 corpus-hygiene operators (decontamination, token-budget mixing,
 # Gopher repetition rules, sequence packing) live in operators/corpus.py —
-# imported at the bottom so corpus.py can lazily reuse load()/STOPWORDS
+# imported at the bottom because corpus.py lazily imports load() and
+# quality_columns() from this module inside its query builders
 from nostr_data_pipeline_spark.operators.corpus import CORPUS_QUERIES  # noqa: E402
 
 QUERIES.update(CORPUS_QUERIES)

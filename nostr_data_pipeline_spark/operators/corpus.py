@@ -19,7 +19,7 @@ construction (benchmarks are thousands of docs, not billions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -215,15 +215,13 @@ def pack_sequences(df: DataFrame, budget: int = 256, n_groups: int = 8,
 # contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
 def q_corpus_decontaminate(spark, sf_dir):
     """Demo split: docs with doc_id % 13 == 0 play the benchmark set, the
     rest the training corpus; 5-gram overlap (the GPT-3 rule uses 13-grams
     on web-scale text; 5 suits the short demo docs)."""
-    d = _load(spark, sf_dir, "documents")
+    from nostr_data_pipeline_spark.operators.analytics import load
+
+    d = load(spark, sf_dir, "documents")
     eval_df = d.filter(F.col("doc_id") % 13 == 0)
     train = d.filter(F.col("doc_id") % 13 != 0)
     return decontaminate(train, eval_df, n=5)
@@ -251,21 +249,17 @@ ORDER BY g.doc_id
 
 
 def q_corpus_mix_budget(spark, sf_dir):
-    """Per-language token-budget mix: best-quality docs first (the
-    corpus_prepare quality formula), keep while the language's running
+    """Per-language token-budget mix: best-quality docs first (the shared
+    analytics.quality_columns formula), keep while the language's running
     token sum stays within 2000."""
-    from nostr_data_pipeline_spark.operators.analytics import STOPWORDS
+    from nostr_data_pipeline_spark.operators.analytics import load, quality_columns
 
-    d = _load(spark, sf_dir, "documents")
-    tk = _ws_tokens()
-    nt = F.size(tk)
-    n_stop = F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS)))
-    stop_ratio = F.when(nt > 0, n_stop / nt).otherwise(0.0)
-    quality = F.round(
-        0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * stop_ratio, 4
-    )
+    d = load(spark, sf_dir, "documents")
+    raw_quality, nt = quality_columns()
     scored = d.select(
-        "doc_id", "lang", quality.alias("quality"), nt.cast("long").alias("n_tokens")
+        "doc_id", "lang",
+        F.round(raw_quality, 4).alias("quality"),
+        nt.cast("long").alias("n_tokens"),
     )
     return select_token_budget(scored, budget=2000)
 
@@ -297,8 +291,9 @@ ORDER BY lang, cum_tokens
 
 
 def q_gopher_repetition(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents")
-    return repetition_metrics(d)
+    from nostr_data_pipeline_spark.operators.analytics import load
+
+    return repetition_metrics(load(spark, sf_dir, "documents"))
 
 
 GOPHER_REPETITION_SQL = r"""
@@ -336,7 +331,9 @@ ORDER BY b.doc_id
 
 
 def q_pack_sequences(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents")
+    from nostr_data_pipeline_spark.operators.analytics import load
+
+    d = load(spark, sf_dir, "documents")
     withtok = d.select(
         "doc_id", F.size(_ws_tokens()).cast("long").alias("n_tokens")
     )

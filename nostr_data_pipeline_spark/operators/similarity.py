@@ -148,7 +148,11 @@ def ann_ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(C @ qn))[:n_probe].tolist()
+    # stable sort: query-dot ties (possible when duplicate vectors seed two
+    # identical centroids) break to the LOWEST cell, matching the DuckDB
+    # oracle's ORDER BY dot DESC, cell — plain argsort (quicksort) would
+    # order ties arbitrarily and could silently swap the probe cutoff
+    probe = np.argsort(-(C @ qn), kind="stable")[:n_probe].tolist()
 
     v = _as_double(F.col(vec_col))
     assigned = df.select(

@@ -108,12 +108,20 @@ def test_pack_sequences_invariants(spark):
         # a sequence either fits the budget or is a single oversized doc
         assert sum(toks) <= budget or len(toks) == 1
     # greedy next-fit never leaves room for the FIRST doc of the next seq
+    # (a packer that opens sequences too early would still satisfy the
+    # budget check above — this is the assert that pins greediness)
     by_grp: dict = {}
     for r in sorted(rows, key=lambda r: (r["grp"], r["seq"], r["doc_id"])):
         by_grp.setdefault(r["grp"], []).append(r)
     for g, rs in by_grp.items():
         seqs = sorted({r["seq"] for r in rs})
         assert seqs == list(range(len(seqs))), "seq ids are dense from 0"
+        seq_tokens = {s: [r["n_tokens"] for r in rs if r["seq"] == s] for s in seqs}
+        for s in seqs[:-1]:
+            first_next = seq_tokens[s + 1][0]
+            assert sum(seq_tokens[s]) + first_next > budget, (
+                f"grp {g} seq {s} closed while the next doc still fit"
+            )
 
 
 def test_pack_sequences_layout_independent(spark):

@@ -188,7 +188,7 @@ def ivf_expected(emb: pd.DataFrame, query, k=10, n_cells=8, n_probe=4,
     cells = np.argmax(alln @ C.T, axis=1)
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
+    probe = set(np.argsort(-(C @ qn), kind="stable")[:n_probe].tolist())
     rows = []
     qlist = [float(x) for x in query]
     for i, vid in enumerate(emb["vec_id"]):
@@ -327,3 +327,30 @@ def test_md5_mode_pairs_are_verified_true_pairs(spark, docs_fixture=None):
     for (a, b), j in got.items():
         sa, sb = sh(rows[a - 1][1]), sh(rows[b - 1][1])
         assert j == round(len(sa & sb) / len(sa | sb), 4) and j >= 0.5
+
+
+def test_ann_ivf_oracle_degenerate_small_table(spark, tmp_path):
+    """Fewer rows than n_cells: the Python spread init trains k=min(n_cells,
+    n) centroids; the SQL oracle must follow (review finding r4 — the old
+    SQL always seeded n_cells rows with duplicate centroids)."""
+    import duckdb
+
+    from nostr_data_pipeline_spark.operators.analytics import _ann_ivf_sql
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(5)]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sdf.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    from nostr_data_pipeline_spark.operators.dedup import q_ann_ivf_topk
+
+    got = [(r["id"], r["cos_sim"]) for r in q_ann_ivf_topk(spark, str(tmp_path)).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    exp = [(int(a), float(b)) for a, b in con.execute(_ann_ivf_sql()).fetchall()]
+    # 5 docs -> 5 one-doc cells; probing 4 of 5 returns exactly 4 rows
+    assert got == exp and len(got) == 4
