@@ -126,7 +126,7 @@ def main() -> None:
         "ann_ivf_topk",
         # round-4 corpus-hygiene additions: the broadcast-decontaminate and
         # hash-group packer are the two new distinct plan shapes
-        "corpus_decontaminate", "pack_sequences",
+        "corpus_decontaminate", "pack_sequences", "pii_scrub",
     ]
     # untimed warm-up: JVM codegen + python workers (not any query's cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000).count()

@@ -211,6 +211,40 @@ def pack_sequences(df: DataFrame, budget: int = 256, n_groups: int = 8,
     return narrow.groupBy("grp").applyInPandas(_pack, _PACK_SCHEMA).orderBy("doc_id")
 
 
+# PII patterns shared by the Spark expressions and the DuckDB oracle —
+# deliberately lookahead/backreference-free so Java regex (Spark) and RE2
+# (DuckDB) agree on every match. Counting uses the ORIGINAL text for all
+# patterns; replacement applies in dict order.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "digit_run": r"\b\d{9,}\b",
+}
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              patterns: dict[str, str] = PII_PATTERNS) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4 addresses, ≥9-digit runs) and
+    count them per document. Pure JVM column expressions — regexp_extract_all
+    for the counts (on the original text) and chained regexp_replace for the
+    redaction; no UDF, fully codegen'd, zero shuffle, so at 100 TB this is
+    scan-speed work that rides along any other pass over the corpus.
+
+    Each matched span becomes ``[PII:<kind>]``. Counts are per-pattern
+    columns ``n_<kind>``.
+    """
+    cols = [F.col(id_col)]
+    for kind, pat in patterns.items():
+        cols.append(
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{kind}")
+        )
+    scrubbed = F.col(text_col)
+    for kind, pat in patterns.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[PII:{kind}]")
+    return df.select(*cols, scrubbed.alias("scrubbed")).orderBy(id_col)
+
+
 # ---------------------------------------------------------------------------
 # contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -364,9 +398,68 @@ SELECT doc_id, grp, seq, n_tokens FROM pack ORDER BY doc_id
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """The synthetic docs carry no real PII, so the contract query PLANTS
+    deterministic spans first (emails on doc_id % 7, IPs on % 11, long digit
+    runs on % 13) and then scrubs — the gate verifies detection, counting
+    and redaction end-to-end with nonzero signal."""
+    from nostr_data_pipeline_spark.operators.analytics import load
+
+    d = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = F.col("text")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(planted, F.lit(" contact user"), sid, F.lit("@example.com")),
+    ).otherwise(planted)
+    planted = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(planted, F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string")),
+    ).otherwise(planted)
+    planted = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(planted, F.lit(" ref 90000000"), sid),
+    ).otherwise(planted)
+    return scrub_pii(d.select("doc_id", planted.alias("text")))
+
+
+def _pii_sql() -> str:
+    # DuckDB single-quoted strings are escape-free (Postgres style): the
+    # Python pattern strings drop in verbatim — do NOT double backslashes
+    pats = PII_PATTERNS
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{k}"
+        for k, p in pats.items()
+    )
+    scrub = "text"
+    for k, p in pats.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '[PII:{k}]', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN t2 || ' ref 90000000' || CAST(doc_id AS VARCHAR) ELSE t2 END AS text
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN t1 || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE t1 END AS t2
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE text END AS t1
+      FROM documents
+    )
+  )
+)
+SELECT doc_id,
+       {counts},
+       {scrub} AS scrubbed
+FROM planted
+ORDER BY doc_id
+"""
+
+
 CORPUS_QUERIES = {
     "corpus_decontaminate": (q_corpus_decontaminate, CORPUS_DECONTAMINATE_SQL),
     "corpus_mix_budget": (q_corpus_mix_budget, CORPUS_MIX_BUDGET_SQL),
     "gopher_repetition": (q_gopher_repetition, GOPHER_REPETITION_SQL),
     "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
+    "pii_scrub": (q_pii_scrub, _pii_sql()),
 }

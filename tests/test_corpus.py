@@ -133,3 +133,31 @@ def test_pack_sequences_layout_independent(spark):
     a = [tuple(r) for r in pack_sequences(d, budget=256).collect()]
     b = [tuple(r) for r in pack_sequences(d.repartition(13), budget=256).collect()]
     assert a == b
+
+
+def test_scrub_pii_hand_values(spark):
+    from nostr_data_pipeline_spark.operators.corpus import scrub_pii
+
+    df = _docs(spark, [
+        (1, "mail me at jo.doe+x@sub.example.org or 10.0.0.7 ok"),
+        (2, "card 1234567890123456 clean words"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.co c@d.io and ip 192.168.1.1"),
+    ])
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_digit_run"]) == (1, 1, 0)
+    assert rows[1]["scrubbed"] == "mail me at [PII:email] or [PII:ipv4] ok"
+    assert rows[2]["n_digit_run"] == 1
+    assert rows[2]["scrubbed"] == "card [PII:digit_run] clean words"
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_digit_run"]) == (0, 0, 0)
+    assert rows[3]["scrubbed"] == "no pii here at all"
+    assert (rows[4]["n_email"], rows[4]["n_ipv4"]) == (2, 1)
+
+
+def test_scrub_pii_no_python_udf(spark):
+    from nostr_data_pipeline_spark.operators.corpus import scrub_pii
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = scrub_pii(d)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning" not in plan
