@@ -49,6 +49,41 @@ def main() -> None:
     print(f"kept: {stats['docs_kept']} docs / {stats['tokens_kept']} tokens "
           f"(avg quality {stats['avg_quality']})")
 
+    # --- corpus hygiene: decontaminate -> filter -> scrub -> mix -> pack ----
+    from nostr_data_pipeline_spark.operators.corpus import (
+        decontaminate,
+        pack_sequences,
+        repetition_metrics,
+        scrub_pii,
+        select_token_budget,
+    )
+
+    eval_set = docs.filter(F.col("doc_id") % 13 == 0)   # stand-in benchmark
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    dirty = decontaminate(train, eval_set, n=5)
+    print(f"decontamination: {dirty.count()} train docs share a 5-gram "
+          f"with the eval set")
+
+    clean = train.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    rep = repetition_metrics(clean)
+    kept_rep = rep.filter("passes").select("doc_id", "n_tokens")
+    print(f"repetition filter: {kept_rep.count()} of {rep.count()} pass")
+
+    scrubbed = scrub_pii(clean.join(kept_rep.select("doc_id"), "doc_id"))
+    redacted = scrubbed.agg(
+        F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_digit_run"))
+    ).first()[0]
+    print(f"pii scrub: {redacted} spans redacted")
+
+    mixed = select_token_budget(
+        clean.join(kept_rep, "doc_id")
+        .select("doc_id", "lang", F.lit(1.0).alias("quality"), "n_tokens"),
+        budget=2000,
+    )
+    packed = pack_sequences(mixed.select("doc_id", "n_tokens"), budget=256)
+    n_seqs = packed.select("grp", "seq").distinct().count()
+    print(f"mix+pack: {mixed.count()} docs packed into {n_seqs} sequences")
+
     # the corpus-scale pair generator: MinHash-LSH instead of exact Jaccard
     pairs = minhash_near_duplicates(docs, threshold=0.5)
     clusters = canonical_docs(docs, pairs)
