@@ -860,13 +860,29 @@ class SnapshotTable:
         df = self.read(spark, include_tombstones=include_tombstones,
                        with_payload=with_payload, payload_col=payload_col,
                        seq_col=seq_col, files=cand)
-        pred = None
-        for k in keys:
-            conj = None
-            for col, val in zip(self.key_cols, k):
-                c = F.col(col) == F.lit(val)
-                conj = c if conj is None else (conj & c)
-            pred = conj if pred is None else (pred | conj)
+        # Predicate shape matters at fan-out: a left-deep OR chain of ~1000
+        # per-key conjunctions overflows the JVM analyzer stack (Catalyst
+        # walks expressions recursively — observed StackOverflowError from
+        # EmbeddingIndex.check's 1024-candidate lookup at sf0.1). Single-
+        # column keys use one flat In (optimizer turns it into an InSet);
+        # composite keys fold the conjunctions into a BALANCED or-tree so
+        # analysis depth is O(log n) regardless of probe count.
+        if len(self.key_cols) == 1:
+            pred = F.col(self.key_cols[0]).isin([k[0] for k in key_tuples])
+        else:
+            terms = []
+            for k in key_tuples:
+                conj = None
+                for col, val in zip(self.key_cols, k):
+                    c = F.col(col) == F.lit(val)
+                    conj = c if conj is None else (conj & c)
+                terms.append(conj)
+            while len(terms) > 1:
+                terms = [
+                    terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+                    for i in range(0, len(terms), 2)
+                ]
+            pred = terms[0]
         return df.filter(pred)
 
     def changes(self, spark: SparkSession, from_version: int,

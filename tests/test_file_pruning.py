@@ -510,3 +510,25 @@ def test_read_key_prefix_pruning(spark, tmp_path):
     got = sorted(r["path"] for r in pruned.filter("repo = 'r2'").collect())
     exp = sorted(r["path"] for r in full.filter("repo = 'r2'").collect())
     assert got == exp and len(got) == 10
+
+
+def test_point_read_wide_fanout_analyzes(spark, tmp_path):
+    """read_keys with a 4-digit probe list must not overflow the Catalyst
+    analyzer: a left-deep OR chain of ~1000 per-key conjunctions threw
+    StackOverflowError (hit by EmbeddingIndex.check's 1024-candidate lookup
+    at sf0.1). Composite keys now fold into a balanced or-tree; single-col
+    keys into one flat In."""
+    t = _load(spark, tmp_path)
+    keys = [("r", f"p{i:04d}") for i in range(1500)]
+    df = t.read_keys(spark, keys)
+    assert df.count() == 40  # the fixture holds p0000..p0039
+
+    single = SnapshotTable(str(tmp_path / "single"), key_cols=("doc_id",),
+                           num_buckets=2)
+    single.create(T.StructType.fromDDL("doc_id long, text string, last_seq long"))
+    sdf = spark.createDataFrame([(i, f"d{i}") for i in range(50)],
+                                "doc_id long, text string")
+    single.merge(spark, sdf.withColumn("last_seq", F.lit(1).cast("long")),
+                 tie_col="text")
+    got = single.read_keys(spark, [(i,) for i in range(2000)], seq_col="last_seq")
+    assert got.count() == 50
