@@ -16,6 +16,8 @@ Usage (spark-submit or plain python):
   python -m nostr_data_pipeline_spark.cli retention --table /data/repo_files \
       --where "updated_ts < timestamp'2024-01-01'"
   python -m nostr_data_pipeline_spark.cli lineage --table /data/repo_files --limit 20
+  python -m nostr_data_pipeline_spark.cli corpus-hygiene --docs /data/docs \
+      --eval /data/benchmark --out /data/clean --pack-budget 2048
 """
 
 from __future__ import annotations
@@ -96,6 +98,43 @@ def cmd_dedup_ingest(spark, args) -> None:
         maintain_every=args.maintain_every,
     )
     print(json.dumps({"batches": job.run_to_completion(spark)}))
+
+
+def cmd_corpus_hygiene(spark, args) -> None:
+    """Batch corpus hygiene over a documents parquet (doc_id, text[, lang]):
+    optional eval-set decontamination -> repetition filter -> PII scrub ->
+    sequence packing. Writes the surviving docs (scrubbed text + counts +
+    pack assignment) to --out and prints one JSON metrics line."""
+    from nostr_data_pipeline_spark.operators.corpus import (
+        decontaminate,
+        pack_sequences,
+        repetition_metrics,
+        scrub_pii,
+    )
+
+    docs = spark.read.parquet(args.docs)
+    metrics: dict = {"docs_in": docs.count()}
+    if args.eval:
+        ev = spark.read.parquet(args.eval)
+        dirty = decontaminate(docs, ev, n=args.ngram)
+        metrics["docs_contaminated"] = dirty.count()
+        docs = docs.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    rep = repetition_metrics(
+        docs, max_dup_token_frac=args.max_dup,
+        max_top_bigram_frac=args.max_bigram,
+    )
+    kept = rep.filter("passes").select("doc_id", "n_tokens")
+    metrics["docs_kept"] = kept.count()
+    scrubbed = scrub_pii(docs.join(kept.select("doc_id"), "doc_id"))
+    packed = pack_sequences(kept, budget=args.pack_budget)
+    out = scrubbed.join(packed.select("doc_id", "grp", "seq"), "doc_id")
+    out.write.mode("overwrite").parquet(args.out)
+    red = out.agg(
+        F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_digit_run"))
+    ).first()[0]
+    metrics["pii_spans_redacted"] = int(red or 0)
+    metrics["sequences"] = packed.select("grp", "seq").distinct().count()
+    print(json.dumps(metrics))
 
 
 def cmd_stats(spark, args) -> None:
@@ -285,6 +324,19 @@ def main(argv=None) -> int:
                          "numbering collides and one source's batches are "
                          "skipped as the other's replays")
 
+    sp = sub.add_parser("corpus-hygiene")
+    sp.add_argument("--docs", required=True,
+                    help="parquet of (doc_id, text[, ...]) documents")
+    sp.add_argument("--out", required=True,
+                    help="output parquet: scrubbed survivors + pack layout")
+    sp.add_argument("--eval", default=None,
+                    help="optional eval-set parquet for decontamination")
+    sp.add_argument("--ngram", type=int, default=5)
+    sp.add_argument("--max-dup", type=float, default=0.5, dest="max_dup")
+    sp.add_argument("--max-bigram", type=float, default=0.2, dest="max_bigram")
+    sp.add_argument("--pack-budget", type=int, default=2048,
+                    dest="pack_budget")
+
     args = p.parse_args(argv)
     from nostr_data_pipeline_spark.session import get_spark
 
@@ -295,6 +347,7 @@ def main(argv=None) -> int:
         "file": cmd_file, "vacuum": cmd_vacuum, "retention": cmd_retention,
         "compact": cmd_compact, "rebucket": cmd_rebucket,
         "lineage": cmd_lineage, "changes": cmd_changes, "dedup-ingest": cmd_dedup_ingest,
+        "corpus-hygiene": cmd_corpus_hygiene,
     }
     handlers[args.cmd](spark, args)
     return 0

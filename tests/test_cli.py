@@ -108,3 +108,41 @@ def test_cli_dedup_ingest(tmp_path):
     rep = json.loads(out[-1])
     assert rep["batches"][0]["docs_in"] == 3
     assert rep["batches"][0]["docs_dropped"] == 1
+
+
+def test_cli_corpus_hygiene(tmp_path):
+    """corpus-hygiene subcommand: decontaminate vs an eval parquet, filter,
+    scrub, pack; writes survivors and prints the metrics line."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        spark = (SparkSession.builder.master("local[4]")
+                 .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+    docs = str(tmp_path / "docs")
+    ev = str(tmp_path / "eval")
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),  # contaminated
+        (2, "write me at some.user@example.net for a copy of the files"),
+        (3, "spam spam spam spam spam spam"),                      # repetition fail
+        # >=11 tokens: below that even an all-unique doc trips the 0.2
+        # top-bigram default (2/n_tokens > 0.2)
+        (4, "an entirely ordinary document with plain words inside it for reading"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(docs)
+    spark.createDataFrame(
+        [(9, "the quick brown fox jumps far")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(ev)
+    out_dir = str(tmp_path / "out")
+    out = run_cli("corpus-hygiene", "--docs", docs, "--eval", ev,
+                  "--out", out_dir, "--pack-budget", "16")
+    rep = json.loads(out[-1])
+    assert rep["docs_in"] == 4
+    assert rep["docs_contaminated"] == 1          # doc 1
+    assert rep["docs_kept"] == 2                  # docs 2, 4 (3 fails repetition)
+    assert rep["pii_spans_redacted"] == 1         # the email in doc 2
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2
+    scrubbed = {r["doc_id"]: r["scrubbed"] for r in got.collect()}
+    assert "[PII:email]" in scrubbed[2]
