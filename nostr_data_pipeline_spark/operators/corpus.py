@@ -112,7 +112,9 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     per-doc duplicate-token fraction and the fraction of tokens covered by
     the single most frequent bigram, plus a pass flag. (Thresholds are
     knobs; the defaults suit the short synthetic demo docs — Gopher's
-    published numbers target long-form web text.)
+    published numbers target long-form web text. Note the floor: a doc
+    under 2/max_top_bigram_frac tokens fails even when every bigram is
+    unique — gate a minimum length upstream, as Gopher itself does.)
 
     The bigram mode is computed WITHOUT a shuffle: sort the bigram array,
     then a single ``aggregate`` fold counts the longest equal run — the
