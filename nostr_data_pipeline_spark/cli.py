@@ -106,6 +106,7 @@ def cmd_corpus_hygiene(spark, args) -> None:
     sequence packing. Writes the surviving docs (scrubbed text + counts +
     pack assignment) to --out and prints one JSON metrics line."""
     from nostr_data_pipeline_spark.operators.corpus import (
+        PII_PATTERNS,
         decontaminate,
         pack_sequences,
         repetition_metrics,
@@ -118,22 +119,34 @@ def cmd_corpus_hygiene(spark, args) -> None:
         ev = spark.read.parquet(args.eval)
         dirty = decontaminate(docs, ev, n=args.ngram)
         metrics["docs_contaminated"] = dirty.count()
-        docs = docs.join(dirty.select("doc_id"), "doc_id", "left_anti")
+        # decontaminated view feeds every downstream action: persist so the
+        # eval n-gram broadcast join runs once, not per-action
+        docs = docs.join(dirty.select("doc_id"), "doc_id", "left_anti").persist()
     rep = repetition_metrics(
         docs, max_dup_token_frac=args.max_dup,
         max_top_bigram_frac=args.max_bigram,
     )
-    kept = rep.filter("passes").select("doc_id", "n_tokens")
+    # min-length gate BEFORE the repetition rules (the operator docstring's
+    # floor: below 2/max_bigram tokens even an all-unique doc fails the
+    # top-bigram rule — Gopher likewise drops short docs upstream)
+    kept = rep.filter(
+        (F.col("n_tokens") >= args.min_tokens) & F.col("passes")
+    ).select("doc_id", "n_tokens")
     metrics["docs_kept"] = kept.count()
     scrubbed = scrub_pii(docs.join(kept.select("doc_id"), "doc_id"))
     packed = pack_sequences(kept, budget=args.pack_budget)
     out = scrubbed.join(packed.select("doc_id", "grp", "seq"), "doc_id")
     out.write.mode("overwrite").parquet(args.out)
-    red = out.agg(
-        F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_digit_run"))
+    # metrics read from the WRITTEN parquet — re-deriving them from the
+    # lineage would re-run the scrub+pack pipeline once per aggregate
+    written = spark.read.parquet(args.out)
+    det = written.agg(
+        F.sum(sum((F.col(f"n_{k}") for k in PII_PATTERNS), F.lit(0)))
     ).first()[0]
-    metrics["pii_spans_redacted"] = int(red or 0)
-    metrics["sequences"] = packed.select("grp", "seq").distinct().count()
+    metrics["pii_spans_detected"] = int(det or 0)
+    metrics["sequences"] = written.select("grp", "seq").distinct().count()
+    if args.eval:
+        docs.unpersist()
     print(json.dumps(metrics))
 
 
@@ -336,6 +349,10 @@ def main(argv=None) -> int:
     sp.add_argument("--max-bigram", type=float, default=0.2, dest="max_bigram")
     sp.add_argument("--pack-budget", type=int, default=2048,
                     dest="pack_budget")
+    sp.add_argument("--min-tokens", type=int, default=10, dest="min_tokens",
+                    help="drop docs shorter than this before the repetition "
+                         "rules (below 2/max-bigram tokens every doc fails "
+                         "the top-bigram rule)")
 
     args = p.parse_args(argv)
     from nostr_data_pipeline_spark.session import get_spark

@@ -164,9 +164,6 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     ).orderBy(id_col)
 
 
-_PACK_SCHEMA = "doc_id long, grp long, seq long, n_tokens long"
-
-
 def pack_sequences(df: DataFrame, budget: int = 256, n_groups: int = 8,
                    id_col: str = "doc_id", token_col: str = "n_tokens") -> DataFrame:
     """Greedy fixed-budget sequence packing: assign docs to training
@@ -186,11 +183,16 @@ def pack_sequences(df: DataFrame, budget: int = 256, n_groups: int = 8,
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
         .cast("long") % n_groups
     )
+    # the id keeps its OWN type — casting to long would turn string
+    # (uuid/hash) ids into NULL and silently drop every row at the caller's
+    # join-back; the applyInPandas schema is built from the input dtype
+    id_type = dict(df.dtypes)[id_col]
     narrow = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         grp.alias("grp"),
         F.col(token_col).cast("long").alias("n_tokens"),
     )
+    pack_schema = f"doc_id {id_type}, grp long, seq long, n_tokens long"
 
     def _pack(pdf):
         # self-contained closure (imports inside): the driver gate may pickle
@@ -210,7 +212,7 @@ def pack_sequences(df: DataFrame, budget: int = 256, n_groups: int = 8,
         pdf["seq"] = pd.Series(seqs, dtype="int64")
         return pdf[["doc_id", "grp", "seq", "n_tokens"]]
 
-    return narrow.groupBy("grp").applyInPandas(_pack, _PACK_SCHEMA).orderBy("doc_id")
+    return narrow.groupBy("grp").applyInPandas(_pack, pack_schema).orderBy("doc_id")
 
 
 # PII patterns shared by the Spark expressions and the DuckDB oracle —
@@ -233,7 +235,10 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     scan-speed work that rides along any other pass over the corpus.
 
     Each matched span becomes ``[PII:<kind>]``. Counts are per-pattern
-    columns ``n_<kind>``.
+    columns ``n_<kind>`` — DETECTION counts on the original text: a span
+    matched by a later pattern inside a span an earlier replacement already
+    consumed (e.g. an ipv4-shaped substring of an email) is counted but not
+    separately redacted.
     """
     cols = [F.col(id_col)]
     for kind, pat in patterns.items():
@@ -244,7 +249,10 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     scrubbed = F.col(text_col)
     for kind, pat in patterns.items():
         scrubbed = F.regexp_replace(scrubbed, pat, f"[PII:{kind}]")
-    return df.select(*cols, scrubbed.alias("scrubbed")).orderBy(id_col)
+    # no orderBy here: the operator stays shuffle-free as documented (the
+    # contract query sorts for its oracle comparison; a 100 TB scrub pass
+    # must not pay a global sort)
+    return df.select(*cols, scrubbed.alias("scrubbed"))
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +430,7 @@ def q_pii_scrub(spark, sf_dir):
         F.col("doc_id") % 13 == 0,
         F.concat(planted, F.lit(" ref 90000000"), sid),
     ).otherwise(planted)
-    return scrub_pii(d.select("doc_id", planted.alias("text")))
+    return scrub_pii(d.select("doc_id", planted.alias("text"))).orderBy("doc_id")
 
 
 def _pii_sql() -> str:

@@ -141,7 +141,7 @@ def test_cli_corpus_hygiene(tmp_path):
     assert rep["docs_in"] == 4
     assert rep["docs_contaminated"] == 1          # doc 1
     assert rep["docs_kept"] == 2                  # docs 2, 4 (3 fails repetition)
-    assert rep["pii_spans_redacted"] == 1         # the email in doc 2
+    assert rep["pii_spans_detected"] == 1          # the email in doc 2
     got = spark.read.parquet(out_dir)
     assert got.count() == 2
     scrubbed = {r["doc_id"]: r["scrubbed"] for r in got.collect()}

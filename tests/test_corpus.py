@@ -161,3 +161,17 @@ def test_scrub_pii_no_python_udf(spark):
     plan = scrub_pii(d)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_pack_sequences_string_ids(spark):
+    """uuid/hash-style ids must survive packing — an id cast to long would
+    go NULL and silently vanish at the caller's join-back (review finding)."""
+    from nostr_data_pipeline_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a9f", 100), ("b71", 200), ("c00", 90), ("d42", 250)],
+        "doc_id string, n_tokens long",
+    )
+    rows = pack_sequences(df, budget=256, n_groups=2).collect()
+    assert sorted(r["doc_id"] for r in rows) == ["a9f", "b71", "c00", "d42"]
+    assert all(r["n_tokens"] > 0 for r in rows)
