@@ -96,6 +96,7 @@ def cmd_dedup_ingest(spark, args) -> None:
         max_files_per_trigger=args.mfpt,
         audit_dir=args.audit,
         maintain_every=args.maintain_every,
+        decontaminate_against=args.decontaminate,
     )
     print(json.dumps({"batches": job.run_to_completion(spark)}))
 
@@ -331,6 +332,9 @@ def main(argv=None) -> int:
     sp.add_argument("--accept-filter", default=None, dest="accept_filter",
                     help="SQL predicate gating docs BEFORE dedup, e.g. "
                          "\"length(text) > 64\"")
+    sp.add_argument("--decontaminate", default=None,
+                    help="eval-set parquet (doc_id, text): drop batch docs "
+                         "sharing any 5-gram with it before dedup")
     sp.add_argument("--stream-id", default="dedup-ingest", dest="stream_id",
                     help="marker namespace — give each SOURCE feeding the "
                          "same corpus/index its own id, or their batch "

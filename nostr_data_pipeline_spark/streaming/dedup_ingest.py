@@ -77,6 +77,8 @@ class StreamingDedupIngest:
         source_factory=None,
         maintain_every: int | None = None,
         accept_filter: str | None = None,
+        decontaminate_against: str | None = None,
+        decontaminate_ngram: int = 5,
     ):
         """``corpus`` must be keyed by ``doc_id`` (created here if absent).
         ``audit_dir``: optional rejection audit — each micro-batch's
@@ -91,6 +93,17 @@ class StreamingDedupIngest:
         ordering: a filtered-out doc never pays shingling, hashing, or an
         index probe, the corpus_prepare discipline applied at the stream
         head. Filtered docs are neither indexed nor audited.
+
+        ``decontaminate_against``: optional path to an eval/benchmark
+        documents parquet (doc_id, text). Each micro-batch doc sharing any
+        ``decontaminate_ngram``-gram with the eval set is dropped BEFORE
+        dedup — contamination-at-ingest, the streaming form of
+        ``corpus.decontaminate``. The eval gram set is derived once,
+        deduped and persisted (eval sets are small by construction), and
+        each batch anti-joins against its broadcast — O(batch) per batch.
+        The gate is a pure function of the eval parquet, so the kept-set
+        stays replay-stable PROVIDED the eval set is not edited mid-stream
+        (swap files atomically between runs, not during one).
 
         ``maintain_every``: every k APPLIED batches (process-local count,
         advisory — unlike the replayer's fold cadence this maintenance is
@@ -116,6 +129,9 @@ class StreamingDedupIngest:
         self.source_factory = source_factory
         self.maintain_every = maintain_every
         self.accept_filter = accept_filter
+        self.decontaminate_against = decontaminate_against
+        self.decontaminate_ngram = decontaminate_ngram
+        self._eval_grams: DataFrame | None = None
         self._applied = 0
         self.batch_metrics: list[dict[str, Any]] = []
 
@@ -168,6 +184,30 @@ class StreamingDedupIngest:
             before = batch.count()
             batch = batch.filter(F.expr(self.accept_filter))
             n_rejected = before - batch.count()
+        n_contaminated = 0
+        if self.decontaminate_against:
+            from nostr_data_pipeline_spark.operators.corpus import ngram_set
+
+            spark = batch.sparkSession
+            if self._eval_grams is None:
+                # static, tiny by construction — derive once, keep cached
+                # (MEMORY_ONLY: LRU-evictable, the library-operator rule)
+                from pyspark import StorageLevel
+
+                ev = spark.read.parquet(self.decontaminate_against)
+                self._eval_grams = (
+                    ngram_set(ev, self.decontaminate_ngram)
+                    .select("gram").distinct()
+                    .persist(StorageLevel.MEMORY_ONLY)
+                )
+            hits = (
+                ngram_set(batch, self.decontaminate_ngram)
+                .join(F.broadcast(self._eval_grams), "gram")
+                .select("doc_id").distinct()
+            )
+            n_contaminated = hits.count()
+            if n_contaminated:
+                batch = batch.join(hits, "doc_id", "left_anti")
         res = self.index.ingest(
             batch.sparkSession, batch,
             id_col="doc_id", text_col="text", seq_col="seq",
@@ -204,6 +244,7 @@ class StreamingDedupIngest:
         self.batch_metrics.append(
             {"batch_id": batch_id, **res["metrics"],
              "docs_filtered": n_rejected,
+             "docs_contaminated": n_contaminated,
              # batch CONTRIBUTION, not rewritten-file row counts (a CoW
              # merge's rows_written includes unchanged carried rows)
              "corpus_rows_written": sum(

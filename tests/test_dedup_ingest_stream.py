@@ -199,3 +199,41 @@ def test_accept_filter_gates_before_dedup(spark, tmp_path):
     assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) == [1]
     assert idx.sigs_table.read(spark, seq_col="seq").filter(
         F.col("doc_id") == 2).count() == 0
+
+
+def test_decontaminate_at_ingest_drops_eval_overlap(spark, tmp_path):
+    """decontaminate_against: a batch doc sharing a 5-gram with the eval
+    parquet is dropped BEFORE dedup — never indexed, never in the corpus —
+    and the gate is replay-stable across a fresh run of the same stream."""
+    docs = str(tmp_path / "docs")
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(900, "guard this exact benchmark phrase forever please")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(ev)
+    _write_docs(spark, docs, [
+        (1, "contains guard this exact benchmark phrase forever among words", 1),
+        (2, BASE % "clean", 1),
+    ])
+    idx = MinHashIndex.create(spark, str(tmp_path / "idx"), num_buckets=4)
+    corpus = SnapshotTable(str(tmp_path / "corpus"), key_cols=("doc_id",),
+                           num_buckets=4)
+    job = StreamingDedupIngest(
+        idx, corpus, docs, str(tmp_path / "ckpt"),
+        decontaminate_against=ev,
+    )
+    [m] = job.run_to_completion(spark)
+    assert m["docs_contaminated"] == 1
+    assert m["docs_in"] == 1          # the gate runs before dedup accounting
+    kept_ids = [r["doc_id"] for r in corpus.read(spark, seq_col="seq").collect()]
+    assert kept_ids == [2]
+    # replay with a FRESH checkpoint converges to the identical corpus
+    job2 = StreamingDedupIngest(
+        idx, corpus, docs, str(tmp_path / "ckpt2"),
+        decontaminate_against=ev,
+    )
+    [m2] = job2.run_to_completion(spark)
+    assert m2["docs_contaminated"] == 1
+    assert sorted(
+        r["doc_id"] for r in corpus.read(spark, seq_col="seq").collect()
+    ) == [2]
