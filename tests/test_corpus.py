@@ -175,3 +175,43 @@ def test_pack_sequences_string_ids(spark):
     rows = pack_sequences(df, budget=256, n_groups=2).collect()
     assert sorted(r["doc_id"] for r in rows) == ["a9f", "b71", "c00", "d42"]
     assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_pack_sequences_matches_pure_python_replica(spark):
+    """Exact-assignment property test: random ids/token counts (including
+    zero-token and over-budget docs) must match an independent pure-Python
+    replica of the md5 grouping + greedy next-fit."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from nostr_data_pipeline_spark.operators.corpus import pack_sequences
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        docs=st.dictionaries(st.integers(min_value=0, max_value=10**6),
+                             st.integers(min_value=0, max_value=400),
+                             min_size=1, max_size=60),
+        budget=st.sampled_from([64, 256]),
+    )
+    def run(docs, budget):
+        rows = sorted(docs.items())
+        sdf = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = sorted(tuple(r) for r in pack_sequences(sdf, budget=budget).collect())
+        exp = []
+        groups: dict = {}
+        for i, t in rows:
+            g = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 8
+            groups.setdefault(g, []).append((i, t))
+        for g, items in groups.items():
+            seq, cum = 0, 0
+            for i, t in sorted(items):
+                if cum > 0 and cum + t > budget:
+                    seq, cum = seq + 1, 0
+                cum += t
+                exp.append((i, g, seq, t))
+        assert got == sorted(exp)
+
+    run()
