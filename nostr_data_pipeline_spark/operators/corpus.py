@@ -215,6 +215,37 @@ def pack_sequences(df: DataFrame, budget: int = 256, n_groups: int = 8,
     return narrow.groupBy("grp").applyInPandas(_pack, pack_schema).orderBy("doc_id")
 
 
+def export_corpus(df: DataFrame, path: str, shard_rows: int = 100_000,
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  val_threshold_hex: str = "1999999a") -> None:
+    """Last-mile training export: write the corpus as
+    ``path/split=train|val/lang=*/*.parquet`` shards of at most
+    ``shard_rows`` rows each — the layout a training loader consumes
+    (deterministic splits, per-language directories, bounded shard files).
+
+    Mechanics: the split comes from ``analytics.deterministic_split`` (id
+    hash — stable across runs and partitionings, default ~10% val);
+    ``repartition(split, lang)`` routes each output directory's rows to one
+    task so small groups don't scatter into per-input-partition fragments,
+    and ``maxRecordsPerFile`` caps shard size WITHIN a group — the writer
+    splits oversized groups into numbered shards without another shuffle.
+    At 100 TB the one hash shuffle is the export's only data movement, and
+    shard size is governed per-file, not per-task."""
+    from nostr_data_pipeline_spark.operators.analytics import (
+        deterministic_split,
+    )
+
+    out = deterministic_split(df, id_col=id_col,
+                              val_threshold_hex=val_threshold_hex)
+    (
+        out.repartition(F.col("split"), F.col(lang_col))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", shard_rows)
+        .partitionBy("split", lang_col)
+        .parquet(path)
+    )
+
+
 # PII patterns shared by the Spark expressions and the DuckDB oracle —
 # deliberately lookahead/backreference-free so Java regex (Spark) and RE2
 # (DuckDB) agree on every match. Counting uses the ORIGINAL text for all

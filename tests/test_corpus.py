@@ -215,3 +215,32 @@ def test_pack_sequences_matches_pure_python_replica(spark):
         assert got == sorted(exp)
 
     run()
+
+
+def test_export_corpus_layout_and_shards(spark, tmp_path):
+    import os
+
+    from nostr_data_pipeline_spark.operators.corpus import export_corpus
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    out = str(tmp_path / "export")
+    export_corpus(d, out, shard_rows=40)
+    got = spark.read.parquet(out)
+    assert got.count() == d.count()
+    # partition dirs exist for both splits
+    splits = {p for p in os.listdir(out) if p.startswith("split=")}
+    assert splits == {"split=train", "split=val"}
+    # shard cap respected: no file carries more than shard_rows rows
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in os.walk(out):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                assert pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows <= 40
+    # split is the deterministic id-hash assignment (re-export agrees)
+    again = str(tmp_path / "export2")
+    export_corpus(d.repartition(7), again, shard_rows=40)
+    a = {(r["doc_id"], r["split"]) for r in spark.read.parquet(out).select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in spark.read.parquet(again).select("doc_id", "split").collect()}
+    assert a == b
