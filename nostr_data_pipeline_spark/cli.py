@@ -125,14 +125,9 @@ def cmd_corpus_hygiene(spark, args) -> None:
         docs = docs.join(dirty.select("doc_id"), "doc_id", "left_anti").persist()
     rep = repetition_metrics(
         docs, max_dup_token_frac=args.max_dup,
-        max_top_bigram_frac=args.max_bigram,
+        max_top_bigram_frac=args.max_bigram, min_tokens=args.min_tokens,
     )
-    # min-length gate BEFORE the repetition rules (the operator docstring's
-    # floor: below 2/max_bigram tokens even an all-unique doc fails the
-    # top-bigram rule — Gopher likewise drops short docs upstream)
-    kept = rep.filter(
-        (F.col("n_tokens") >= args.min_tokens) & F.col("passes")
-    ).select("doc_id", "n_tokens")
+    kept = rep.filter("passes").select("doc_id", "n_tokens")
     metrics["docs_kept"] = kept.count()
     scrubbed = scrub_pii(docs.join(kept.select("doc_id"), "doc_id"))
     packed = pack_sequences(kept, budget=args.pack_budget)

@@ -23,28 +23,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _ws_tokens(text_col: str = "text") -> F.Column:
+def _ws_tokens(text_col: str = "text", lowercase: bool = False) -> F.Column:
     """Whitespace tokenizer — same rule as analytics.token_counts so all
     corpus operators agree on what a token is."""
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return F.split(F.trim(c), r"\s+")
 
 
-def ngram_set(df: DataFrame, n: int = 5, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """Per-document DISTINCT lowercase word n-grams as (id, gram) rows.
-
-    Docs shorter than ``n`` tokens contribute nothing — the ``when`` guard
-    matters because ``sequence(1, size-n+1)`` would happily generate a
-    DESCENDING sequence for short docs and emit garbage grams.
-    """
-    tk = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.when(
+def _grams(tk: F.Column, n: int) -> F.Column:
+    """Word n-gram array over a token array. Docs shorter than ``n`` tokens
+    yield an empty array — the ``when`` guard matters because
+    ``sequence(1, size-n+1)`` would happily generate a DESCENDING sequence
+    for short docs and emit garbage grams."""
+    return F.when(
         F.size(tk) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(tk) - n + 1),
             lambda i: F.array_join(F.slice(tk, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_set(df: DataFrame, n: int = 5, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document DISTINCT lowercase word n-grams as (id, gram) rows."""
+    grams = _grams(_ws_tokens(text_col, lowercase=True), n)
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
     )
@@ -107,14 +110,16 @@ def select_token_budget(df: DataFrame, budget: int, group_col: str = "lang",
 def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_dup_token_frac: float = 0.50,
-                       max_top_bigram_frac: float = 0.20) -> DataFrame:
+                       max_top_bigram_frac: float = 0.20,
+                       min_tokens: int = 0) -> DataFrame:
     """Gopher-style repetition filter (Rae et al. 2021, table A1 analogue):
     per-doc duplicate-token fraction and the fraction of tokens covered by
     the single most frequent bigram, plus a pass flag. (Thresholds are
     knobs; the defaults suit the short synthetic demo docs — Gopher's
     published numbers target long-form web text. Note the floor: a doc
     under 2/max_top_bigram_frac tokens fails even when every bigram is
-    unique — gate a minimum length upstream, as Gopher itself does.)
+    unique — ``min_tokens`` is the length gate for that, folded into
+    ``passes`` as Gopher itself gates short docs.)
 
     The bigram mode is computed WITHOUT a shuffle: sort the bigram array,
     then a single ``aggregate`` fold counts the longest equal run — the
@@ -128,13 +133,7 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
         nt > 0, 1.0 - F.size(F.array_distinct(tk)) / nt.cast("double")
     ).otherwise(0.0)
 
-    bigrams = F.when(
-        nt >= 2,
-        F.transform(
-            F.sequence(F.lit(1), nt - 1),
-            lambda i: F.array_join(F.slice(tk, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _grams(tk, 2)
     acc0 = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
@@ -159,7 +158,8 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     )
     return out.withColumn(
         "passes",
-        (F.col("dup_token_frac") <= max_dup_token_frac)
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac),
     ).orderBy(id_col)
 
