@@ -475,6 +475,7 @@ def _cc_star(pairs: DataFrame, id1_col: str, id2_col: str,
         self_link = mins.select(F.col("hi"), F.col("m").alias("lo"))
         return relink.unionByName(self_link).dropDuplicates(["hi", "lo"])
 
+    converged = False
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # converged when the round was a fixed point of the edge set; the
@@ -483,9 +484,24 @@ def _cc_star(pairs: DataFrame, id1_col: str, id2_col: str,
         if (new_edges.count() == edges.count()
                 and new_edges.exceptAll(edges).count() == 0):
             edges = new_edges
+            # Kiveris et al.'s termination argument is per-operation (each
+            # star op individually at a fixed point), not per composed
+            # round — a hypothetical period-2 oscillation (large-star
+            # perturbs, small-star undoes) would look like a fixed point
+            # here. Guard: the converged set must be disjoint stars — no
+            # node both a spoke (hi) and a center (lo) — else fall through
+            # to the non-convergence warning instead of extracting wrong
+            # labels silently. One narrow semi-join probe, limit-1.
+            spoke_center_overlap = (
+                edges.select(F.col("hi").alias("n"))
+                .join(edges.select(F.col("lo").alias("n")).distinct(),
+                      "n", "left_semi")
+                .limit(1).count()
+            )
+            converged = spoke_center_overlap == 0
             break
         edges = new_edges
-    else:
+    if not converged:
         warnings.warn(
             f"connected_components(mode='star'): not converged after "
             f"max_iter={max_iter} rounds; labels are an upper bound on the "

@@ -50,8 +50,9 @@ Scale shape (100 TB corpus, ~10^10 docs):
   same way dedup.py's ngram operator guards its prefix blocks.
 
 Reference parity: the reference deduplicates events by primary-key lookup
-at ingest (`/root/reference/src/nostr_pipeline/loaders/event_loader.py`
-ON CONFLICT skips); this operator is the same ingest-time membership
+at ingest (`/root/reference/src/nostr_pipeline/loaders/event_loader.py:31-40`
+save_event: primary-key existence check via ``session.get`` then skip);
+this operator is the same ingest-time membership
 question generalized from exact id equality to near-duplicate text
 similarity, which the reference does not attempt.
 """

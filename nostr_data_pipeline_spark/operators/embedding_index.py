@@ -30,8 +30,9 @@ in the index config exactly like MinHashIndex's LSH parameters (buckets
 computed under different planes never collide meaningfully).
 
 Reference parity: the reference dedupes events by primary-key lookup at
-ingest (`/root/reference/src/nostr_pipeline/loaders/event_loader.py`
-ON CONFLICT skip); this answers the same ingest-time membership question
+ingest (`/root/reference/src/nostr_pipeline/loaders/event_loader.py:31-40`
+save_event: primary-key existence check via ``session.get`` then skip);
+this answers the same ingest-time membership question
 generalized to cosine similarity over an embedding column — the modality
 the reference does not model at all.
 """

@@ -11,8 +11,9 @@ canonical election, and the seq-guarded MERGE.
 
 Reference parity: the reference's ingest loop answers "have I seen this
 event id" with a PK probe before insert
-(/root/reference/src/nostr_pipeline/loaders/event_loader.py ON CONFLICT
-skip); this job asks the generalized question a 100 TB training pipeline
+(/root/reference/src/nostr_pipeline/loaders/event_loader.py:31-40
+save_event: ``session.get(NostrEvent, id)`` then skip on existence); this
+job asks the generalized question a 100 TB training pipeline
 needs — "have I already accepted something 90%-similar" — at the same
 point in the topology.
 

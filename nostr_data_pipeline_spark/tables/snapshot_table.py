@@ -186,9 +186,13 @@ class SnapshotTable:
                 f"handle was constructed with {list(self.key_cols)}; use "
                 f"SnapshotTable.open({self.path!r})"
             )
-        # and so are bucket_cols: same hash, different inputs
+        # and so are bucket_cols: same hash, different inputs. Manifests
+        # written before the bucket_cols field existed (no key present) were
+        # bucketed by the FULL key — default the missing key to None so a
+        # handle constructed with any prefix bucketing is loudly rejected
+        # against such a table instead of hashing probes to wrong buckets
         mine = list(self.bucket_cols) if self.bucket_cols else None
-        if m.get("bucket_cols", mine) != mine:
+        if m.get("bucket_cols") != mine:
             raise ValueError(
                 f"table at {self.path} has bucket_cols={m.get('bucket_cols')} "
                 f"but this handle was constructed with {mine}; use "

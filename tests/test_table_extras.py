@@ -343,3 +343,33 @@ def test_driver_bucket_routing_matches_jvm(spark):
         exp = [bucket_of(v, ["string", "long", "integer", "boolean"], n)
                for v in rows]
         assert got == exp
+
+
+def test_legacy_manifest_without_bucket_cols_rejects_prefix_handle(spark, tmp_path):
+    """Manifests written before the bucket_cols field existed carry no key
+    at all — those tables were bucketed by the FULL key. A handle built
+    with any prefix bucketing must be loudly rejected against such a table
+    (it would hash point-read probes and merge routing to wrong buckets);
+    a full-key handle must still open fine (that IS the legacy layout)."""
+    import json
+
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=8)
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, [("r", "p", "n", None, 1, "e1")]))
+    # simulate the legacy manifest: strip the bucket_cols key entirely
+    v = t.current_version()
+    mp = t._manifest_path(v)
+    with open(mp) as f:
+        m = json.load(f)
+    assert "bucket_cols" in m
+    del m["bucket_cols"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+
+    legacy_ok = SnapshotTable(str(tmp_path / "t"), num_buckets=8)
+    assert legacy_ok.read(spark).count() == 1  # full-key handle: fine
+
+    prefix = SnapshotTable(str(tmp_path / "t"), num_buckets=8,
+                           bucket_cols=("repo",))
+    with pytest.raises(ValueError, match="bucket_cols"):
+        prefix.read(spark)
