@@ -52,9 +52,11 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
+from collections.abc import Mapping
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +69,112 @@ _WIDEN_OK = {
 }
 
 META_COLS = ("_deleted",)
+
+
+# ---------------------------------------------------------- manifest shards
+# Shard files are IMMUTABLE (uuid-named, never rewritten), so a process-wide
+# cache is safe: a carried-forward shard is parsed once per process no matter
+# how many manifest versions reference it. The crude clear-on-overflow bound
+# only matters to a process touching thousands of distinct tables.
+_SHARD_CACHE: dict[str, dict[str, Any]] = {}
+_SHARD_CACHE_MAX = 16384
+
+_BUCKET_SEG_RE = re.compile(r"/_bucket=(\d+)/")
+
+
+def _bucket_of_path(relpath: str) -> str | None:
+    """Bucket id encoded in a data/delta file's relative path
+    (``data-vN/_bucket=B/part-...``) — the routing key that lets the lazy
+    stats view find a file's shard without loading every shard."""
+    mt = _BUCKET_SEG_RE.search(relpath)
+    return mt.group(1) if mt else None
+
+
+class _ShardedBuckets(Mapping):
+    """Lazy ``bucket id -> [file relpaths]`` view over manifest shards.
+
+    Accessing a bucket loads (and caches) only that bucket's shard — the
+    property that keeps point reads and hinted merges O(probed buckets) in
+    metadata I/O on a table with 10^5-10^6 files. ``updated(changes)``
+    returns an overlay view used transiently between a commit builder and
+    ``_commit`` so untouched buckets are carried forward WITHOUT ever being
+    loaded. The file lists handed out are shared with the cache: treat them
+    as immutable (every caller in this module copies before mutating)."""
+
+    __slots__ = ("_t", "_map", "_ov")
+
+    def __init__(self, table: "SnapshotTable", shard_map: dict[str, dict],
+                 overlay: dict[str, list[str]] | None = None):
+        self._t = table
+        self._map = shard_map
+        self._ov = overlay or {}
+
+    def __getitem__(self, b: str) -> list[str]:
+        if b in self._ov:
+            return self._ov[b]
+        return self._t._load_shard(self._map[b]["path"])["files"]
+
+    def __iter__(self):
+        yield from self._map
+        for b in self._ov:
+            if b not in self._map:
+                yield b
+
+    def __len__(self) -> int:
+        return len(self._map.keys() | self._ov.keys())
+
+    def __contains__(self, b) -> bool:  # Mapping's default would load the shard
+        return b in self._ov or b in self._map
+
+    def updated(self, changes: dict[str, list[str]]) -> "_ShardedBuckets":
+        return _ShardedBuckets(self._t, self._map, {**self._ov, **changes})
+
+    @property
+    def n_files(self) -> int:
+        """Total live file count without loading any shard (per-shard counts
+        ride the manifest's shard map)."""
+        return sum(len(v) for v in self._ov.values()) + sum(
+            e["n"] for b, e in self._map.items() if b not in self._ov
+        )
+
+
+class _ShardedStats(Mapping):
+    """Lazy ``file relpath -> stats`` view: a lookup routes through the
+    ``_bucket=B`` path segment to that bucket's shard, so per-file stats
+    probes (merge pruning, point reads, where-pruning) load only the shards
+    of the files actually being considered. Full iteration (tests,
+    maintenance) loads everything — by design, those paths read every file
+    anyway."""
+
+    __slots__ = ("_t", "_map")
+
+    def __init__(self, table: "SnapshotTable", shard_map: dict[str, dict]):
+        self._t = table
+        self._map = shard_map
+
+    def __getitem__(self, f: str):
+        b = _bucket_of_path(f)
+        e = self._map.get(b) if b is not None else None
+        if e is None:
+            raise KeyError(f)
+        return self._t._load_shard(e["path"])["stats"][f]
+
+    def __contains__(self, f) -> bool:
+        try:
+            self[f]
+            return True
+        except KeyError:
+            return False
+
+    def __iter__(self):
+        for e in self._map.values():
+            yield from self._t._load_shard(e["path"])["stats"]
+
+    def __len__(self) -> int:
+        return sum(
+            len(self._t._load_shard(e["path"])["stats"])
+            for e in self._map.values()
+        )
 
 
 # key-column types whose values survive a JSON round-trip AND whose Python
@@ -159,7 +267,32 @@ class SnapshotTable:
         if version is None:
             version = self.current_version()
         with open(self._manifest_path(version)) as f:
-            return json.load(f)
+            m = json.load(f)
+        shards = m.get("bucket_shards")
+        if shards is not None:
+            # sharded manifest (format 2): expose the familiar assembled
+            # views lazily — a consumer that probes one bucket parses one
+            # shard, not the whole table's metadata
+            m["buckets"] = _ShardedBuckets(self, shards)
+            m["file_stats"] = _ShardedStats(self, shards)
+        return m
+
+    def _load_shard(self, rel: str) -> dict[str, Any]:
+        fp = os.path.join(self.path, rel)
+        sh = _SHARD_CACHE.get(fp)
+        if sh is None:
+            try:
+                with open(fp) as f:
+                    sh = json.load(f)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"manifest shard {rel} of table {self.path} was vacuumed; "
+                    f"time-travel is bounded by vacuum(keep_versions)"
+                ) from None
+            if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+                _SHARD_CACHE.clear()
+            _SHARD_CACHE[fp] = sh
+        return sh
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         m = self._raw_manifest(version)
@@ -203,17 +336,97 @@ class SnapshotTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.manifest()["schema"])
 
-    def _commit(self, manifest: dict[str, Any]) -> None:
+    def _commit(self, manifest: dict[str, Any],
+                touched: "set[str] | frozenset[str] | None" = None) -> None:
         """Atomic commit: manifest write is the WAL, pointer swap is the
         commit point. Every step is fsynced (file data before each rename,
         the directory after) so the pointer can never land on a manifest
         whose bytes didn't survive a power loss — rename atomicity alone
-        only covers process crashes, not unflushed page cache."""
-        v = manifest["version"]
+        only covers process crashes, not unflushed page cache.
+
+        Sharded metadata (Iceberg's manifest-list design, iceberg.apache.org/
+        spec): per-bucket file lists + file stats persist as immutable shard
+        files under ``shards/``; the top manifest holds only a
+        ``bucket_shards`` map of O(num_buckets) entries. ``touched`` names
+        the bucket ids whose content may differ from the parent manifest —
+        every other bucket carries its parent shard forward BY PATH, without
+        being loaded or rewritten. With ``touched=None`` each bucket's
+        content is rebuilt and compared against the parent shard (correct
+        for any caller, O(all files) in memory — the maintenance-path
+        default). Commit cost is therefore O(touched buckets + num_buckets),
+        flat in total file count: the property a 10^6-file table needs.
+
+        Contract with commit builders: ``manifest['buckets']`` is the
+        complete bucket->files mapping (plain dict, lazy view, or
+        ``updated()`` overlay); ``manifest['file_stats']`` carries stats for
+        NEW files only — stats of carried files come from the parent shards.
+        """
+        m = dict(manifest)
+        buckets = m.pop("buckets", {})
+        raw_stats = m.pop("file_stats", {})
+        new_stats: dict[str, Any] = raw_stats if isinstance(raw_stats, dict) else {}
+        parent_map: dict[str, dict] = m.pop("bucket_shards", {}) or {}
+        deltas = m.get("deltas") or {}
+        v = m["version"]
+        # one-time upgrade path: a pre-shard parent manifest carries its
+        # stats inline; make them available as the carried-stats source
+        parent_inline: dict[str, Any] = {}
+        if not parent_map and v > 1:
+            try:
+                with open(self._manifest_path(v - 1)) as f:
+                    parent_inline = json.load(f).get("file_stats") or {}
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+        if touched is not None:
+            touched = {str(b) for b in touched}
+        shard_map: dict[str, dict] = {}
+        pending: list[tuple[str, dict]] = []
+        for b in sorted(set(buckets) | set(deltas), key=int):
+            pe = parent_map.get(b)
+            if touched is not None and b not in touched and pe is not None:
+                shard_map[b] = pe
+                continue
+            files = list(buckets[b]) if b in buckets else []
+            parent_stats = (self._load_shard(pe["path"])["stats"] if pe
+                            else parent_inline)
+            stats: dict[str, Any] = {}
+            for f in files + list(deltas.get(b, ())):
+                s = new_stats.get(f)
+                if s is None:
+                    s = parent_stats.get(f)
+                if s is not None:
+                    stats[f] = s
+            content = {"files": files, "stats": stats}
+            if (touched is None and pe is not None
+                    and self._load_shard(pe["path"]) == content):
+                shard_map[b] = pe
+                continue
+            rel = f"shards/shard-b{b}-{uuid.uuid4().hex[:12]}.json"
+            shard_map[b] = {"path": rel, "n": len(files)}
+            pending.append((rel, content))
+        if pending:
+            sdir = os.path.join(self.path, "shards")
+            os.makedirs(sdir, exist_ok=True)
+            for rel, content in pending:
+                fp = os.path.join(self.path, rel)
+                tmp = fp + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(content, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, fp)
+                _SHARD_CACHE[fp] = content
+            # shard names must be durable before a manifest references them
+            sfd = os.open(sdir, os.O_RDONLY)
+            try:
+                os.fsync(sfd)
+            finally:
+                os.close(sfd)
+        m["bucket_shards"] = shard_map
         mp = self._manifest_path(v)
         tmp = mp + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(m, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, mp)
@@ -359,19 +572,6 @@ class SnapshotTable:
             elif tn in _STATS_SAFE_TYPES or tn in ("double", "float"):
                 out.append((c, False))
         return out
-
-    def _merged_file_stats(self, m: dict[str, Any], new_buckets: dict,
-                           new_stats: dict[str, Any],
-                           new_deltas: dict | None = None) -> dict[str, Any]:
-        """Carry forward stats of still-referenced files, add the new files',
-        drop entries for files neither the bucket map nor the delta map of
-        the new manifest references anymore."""
-        if new_deltas is None:
-            new_deltas = self._deltas_of(m)
-        referenced = {f for fs in new_buckets.values() for f in fs}
-        referenced.update(f for fs in new_deltas.values() for f in fs)
-        merged = {**m.get("file_stats", {}), **new_stats}
-        return {f: s for f, s in merged.items() if f in referenced}
 
     # ---------------------------------------------------- merge-on-read layer
     @staticmethod
@@ -1012,7 +1212,8 @@ class SnapshotTable:
             # Re-materialize at leisure.
             evolved[name] = {"type": typ, "add_seq": seq}
         self._commit({**m, "version": m["version"] + 1, "evolved": evolved,
-                      "metrics": {"schema_change": f"evolve {name} {spark_type}@{add_seq}"}})
+                      "metrics": {"schema_change": f"evolve {name} {spark_type}@{add_seq}"}},
+                     touched=frozenset())
         return True
 
     # ----------------------------------------------------------------- merge
@@ -1235,12 +1436,11 @@ class SnapshotTable:
             "version": new_version,
             "deltas": deltas,
             "delta_lww": {"seq_col": seq_col, "tie_col": tie_col},
-            "file_stats": self._merged_file_stats(
-                m, m["buckets"], new_stats, new_deltas=deltas),
+            "file_stats": new_stats,
             "commits": commits,
             "metrics": metrics,
             "committed_at": time.time(),
-        })
+        }, touched={b for b, fs in written.items() if fs})
         return metrics
 
     def _probe_touched_files(self, spark, src, m, schema,
@@ -1262,14 +1462,29 @@ class SnapshotTable:
         rewritten output and carried files can never share a key."""
         # bulk-load fast path: an EMPTY table has no files to prune and no
         # buckets to carry — the written output itself tells us which buckets
-        # got rows (zero probe jobs on the first, biggest merge)
-        if not any(m["buckets"].values()):
+        # got rows (zero probe jobs on the first, biggest merge). The
+        # per-shard counts in the manifest answer this without loading any
+        # shard on the sharded format.
+        b_all = m["buckets"]
+        total_files = getattr(b_all, "n_files", None)
+        if total_files is None:
+            total_files = sum(len(fs) for fs in b_all.values())
+        if total_files == 0:
             return list(range(self.num_buckets)), set()
         stats_map = m.get("file_stats", {})
+        # with an exact source-bucket hint, only the hinted buckets' file
+        # ranges can ever join (the probe joins on bucket equality) — so
+        # only THOSE shards are loaded and broadcast: a 1-key trickle merge
+        # into a 10^6-file table reads one bucket's metadata, not all of it
+        if source_buckets is not None:
+            probe_keys = [bs for b in sorted({int(x) for x in source_buckets})
+                          if (bs := str(b)) in b_all]
+        else:
+            probe_keys = list(b_all)
         ranges_rows = [
             (f, int(b), *st["min"], *st["max"])
-            for b, fs in m["buckets"].items()
-            for f in fs
+            for b in probe_keys
+            for f in b_all.get(b, [])
             if (st := stats_map.get(f)) is not None
         ]
         if not ranges_rows:
@@ -1429,14 +1644,20 @@ class SnapshotTable:
                 f"source_buckets hint) missed source rows; aborting commit"
             )
         written = self._list_written_buckets(out_dir, data_rel, affected)
-        new_buckets = dict(m["buckets"])
+        base = m["buckets"]
+        changes: dict[str, list[str]] = {}
         n_carried = 0
         for b in affected:
             bs = str(b)
-            carried = [f for f in m["buckets"].get(bs, []) if f not in touched]
+            carried = [f for f in base.get(bs, []) if f not in touched]
             n_carried += len(carried)
-            if carried or written[bs] or bs in new_buckets:
-                new_buckets[bs] = carried + written[bs]
+            if carried or written[bs] or bs in base:
+                changes[bs] = carried + written[bs]
+        # overlay view: untouched buckets carry forward by shard reference —
+        # never loaded, never re-serialized (commit cost O(touched))
+        new_buckets = (base.updated(changes)
+                       if isinstance(base, _ShardedBuckets)
+                       else {**base, **changes})
         new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
 
         commits = dict(m["commits"])
@@ -1454,7 +1675,7 @@ class SnapshotTable:
             **m,
             "version": new_version,
             "buckets": new_buckets,
-            "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
+            "file_stats": new_stats,
             "commits": commits,
             "metrics": metrics,
             "committed_at": time.time(),
@@ -1473,7 +1694,7 @@ class SnapshotTable:
             metrics["materialization_invalidated"] = sorted(
                 n for n, s in evolved.items() if "mat_seq" in s
             )
-        self._commit(manifest)
+        self._commit(manifest, touched=set(changes))
         return metrics
 
     # ------------------------------------------------------- schema evolution
@@ -1501,7 +1722,8 @@ class SnapshotTable:
         fields.append(schema["_deleted"])
         self._commit({**m, "version": m["version"] + 1,
                       "schema": T.StructType(fields).jsonValue(),
-                      "metrics": {"schema_change": f"add {name} {spark_type}"}})
+                      "metrics": {"schema_change": f"add {name} {spark_type}"}},
+                     touched=frozenset())
         return True
 
     def widen_column(self, name: str, spark_type: str) -> bool:
@@ -1525,7 +1747,8 @@ class SnapshotTable:
         ]
         self._commit({**m, "version": m["version"] + 1,
                       "schema": T.StructType(fields).jsonValue(),
-                      "metrics": {"schema_change": f"widen {name} {old}->{spark_type}"}})
+                      "metrics": {"schema_change": f"widen {name} {old}->{spark_type}"}},
+                     touched=frozenset())
         return True
 
     # ------------------------------------------------------------- housekeeping
@@ -1602,11 +1825,11 @@ class SnapshotTable:
                       "buckets": new_buckets,
                       "deltas": {},
                       "delta_lww": None,
-                      "file_stats": self._merged_file_stats(
-                          m, new_buckets, new_stats, new_deltas={}),
+                      "file_stats": new_stats,
                       "evolved": new_evolved,
                       "metrics": {"materialize_evolved": sorted(evolved),
-                                  "mat_seq": int(hi)}})
+                                  "mat_seq": int(hi)}},
+                     touched=set(new_buckets))
         return {"materialized_columns": len(evolved), "mat_seq": int(hi)}
 
     def delete_where(self, spark: SparkSession, condition: str) -> dict[str, Any]:
@@ -1693,13 +1916,17 @@ class SnapshotTable:
         self._write_bucketed(kept, out_dir, len(affected))
 
         written = self._list_written_buckets(out_dir, data_rel, affected)
-        new_buckets = dict(m["buckets"])
+        base = m["buckets"]
+        changes: dict[str, list[str]] = {}
         n_carried = 0
         for b in affected:
             bs = str(b)
-            carried = [f for f in m["buckets"].get(bs, []) if f not in cand]
+            carried = [f for f in base.get(bs, []) if f not in cand]
             n_carried += len(carried)
-            new_buckets[bs] = carried + written[bs]
+            changes[bs] = carried + written[bs]
+        new_buckets = (base.updated(changes)
+                       if isinstance(base, _ShardedBuckets)
+                       else {**base, **changes})
         new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
         removed_total = int(sum(per_bucket.values()))
         metrics = {"retention_delete": condition,
@@ -1715,8 +1942,8 @@ class SnapshotTable:
                    "files_carried": len(all_files) - len(files),
                    "files_carried_in_rewritten_buckets": n_carried}
         self._commit({**m, "version": new_version, "buckets": new_buckets,
-                      "file_stats": self._merged_file_stats(m, new_buckets, new_stats),
-                      "metrics": metrics})
+                      "file_stats": new_stats,
+                      "metrics": metrics}, touched=set(changes))
         return dict(metrics)
 
     def vacuum_tombstones(self, spark: SparkSession) -> dict[str, Any]:
@@ -1732,6 +1959,7 @@ class SnapshotTable:
         files. Returns the number of files removed."""
         cur = self.current_version()
         keep: set[str] = set()
+        keep_shards: set[str] = set()
         for v in range(max(1, cur - keep_versions + 1), cur + 1):
             try:
                 mf = self.manifest(v)
@@ -1741,7 +1969,20 @@ class SnapshotTable:
                 keep.update(fs)
             for fs in self._deltas_of(mf).values():
                 keep.update(fs)
+            keep_shards.update(
+                e["path"] for e in mf.get("bucket_shards", {}).values()
+            )
         removed = 0
+        # manifest shards age out with the versions that reference them —
+        # a time-travel read past the keep window raises the same clear
+        # "vacuumed" error its data files would
+        sdir = os.path.join(self.path, "shards")
+        if os.path.isdir(sdir):
+            for fn in sorted(os.listdir(sdir)):
+                rel = f"shards/{fn}"
+                if fn.endswith(".json") and rel not in keep_shards:
+                    os.unlink(os.path.join(sdir, fn))
+                    removed += 1
         for entry in sorted(os.listdir(self.path)):
             if not entry.startswith(("data-v", "delta-v")):
                 continue
@@ -1819,8 +2060,10 @@ class SnapshotTable:
         out_dir = os.path.join(self.path, data_rel)
         self._write_bucketed(df, out_dir, len(affected))
         written = self._list_written_buckets(out_dir, data_rel, affected)
-        new_buckets = dict(m["buckets"])
-        new_buckets.update(written)
+        base = m["buckets"]
+        new_buckets = (base.updated(written)
+                       if isinstance(base, _ShardedBuckets)
+                       else {**base, **written})
         new_deltas = {
             b: fs for b, fs in deltas.items() if int(b) not in set(affected)
         }
@@ -1833,13 +2076,13 @@ class SnapshotTable:
                       # folded, a later MoR merge may pick fresh LWW columns
                       "delta_lww": (m.get("delta_lww")
                                     if any(new_deltas.values()) else None),
-                      "file_stats": self._merged_file_stats(
-                          m, new_buckets, new_stats, new_deltas=new_deltas),
+                      "file_stats": new_stats,
                       "metrics": {"compact": True,
                                   "buckets_compacted": len(affected),
                                   "files_before": len(files),
                                   "files_after": files_after,
-                                  "deltas_folded": n_folded}})
+                                  "deltas_folded": n_folded}},
+                     touched=set(written))
         return {"buckets_compacted": len(affected),
                 "files_before": len(files), "files_after": files_after,
                 "deltas_folded": n_folded}
@@ -1903,9 +2146,9 @@ class SnapshotTable:
                           "buckets": new_buckets,
                           "deltas": {},
                           "delta_lww": None,
-                          "file_stats": self._merged_file_stats(
-                              m, new_buckets, new_stats, new_deltas={}),
-                          "metrics": {"rebucket": f"{old_n}->{n}"}})
+                          "file_stats": new_stats,
+                          "metrics": {"rebucket": f"{old_n}->{n}"}},
+                         touched=set(new_buckets))
         except BaseException:
             # failed rewrite must not leave the handle disagreeing with disk
             self.num_buckets, self.target_file_rows = old_n, old_tfr
