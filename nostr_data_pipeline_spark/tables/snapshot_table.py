@@ -751,6 +751,69 @@ class SnapshotTable:
             except ValueError:
                 return None
 
+    def _prune_base_under_deltas(self, m: dict[str, Any],
+                                 base_sel: list[str], delta_sel: list[str],
+                                 ranges: dict[str, list]) -> list[str]:
+        """Predicate file pruning that stays sound with LIVE MoR deltas.
+
+        Dropping a base file on its column bounds alone is unsound here: the
+        file may hold the LWW WINNER for a key whose stale delta row would
+        then win the resolve and pass the filter (resurrection). A base file
+        is skipped only when BOTH hold:
+
+        (a) its recorded bounds cannot satisfy the predicate
+            (``_file_may_match`` false), and
+        (b) its key-tuple range is disjoint from every same-bucket delta
+            file's key range — no key in the file has any delta row, so the
+            file's rows resolve alone and (a) already proves none survives
+            the filter. (Same-bucket suffices: a shared key hashes to the
+            same bucket by construction.)
+
+        Delta bounds come from manifest stats (exact tuple bounds) when
+        present; a stats-less delta (the trickle path deliberately skips the
+        stats job) falls back to its parquet FOOTER's per-column statistics,
+        conservatively widened to a tuple interval — a driver-side metadata
+        read over the few uncompacted files, no Spark job. A delta whose
+        bounds are unavailable either way makes its bucket unprunable
+        (conservative: pruning degrades to scanning, never to wrong rows)."""
+        stats_map = m.get("file_stats", {})
+        # bucket -> list[(lo, hi)] delta key-tuple intervals; None = unprunable
+        dmap: dict[str | None, list | None] = {}
+        for d in delta_sel:
+            b = _bucket_of_path(d)
+            if dmap.get(b, ()) is None:
+                continue
+            st = stats_map.get(d)
+            if st is not None:
+                iv = (tuple(st["min"]), tuple(st["max"]))
+            else:
+                try:
+                    iv = _parquet_key_bounds(
+                        os.path.join(self.path, d), self.key_cols)
+                except OSError:
+                    iv = None
+            if iv is None:
+                dmap[b] = None
+            else:
+                dmap.setdefault(b, []).append(iv)
+        out = []
+        for f in base_sel:
+            st = stats_map.get(f)
+            if st is None or self._file_may_match(st, ranges):
+                out.append(f)
+                continue
+            ivs = dmap.get(_bucket_of_path(f), [])
+            if ivs is None:
+                out.append(f)
+                continue
+            flo, fhi = tuple(st["min"]), tuple(st["max"])
+            try:
+                if any(not (fhi < dlo or dhi < flo) for dlo, dhi in ivs):
+                    out.append(f)
+            except TypeError:
+                out.append(f)  # incomparable bounds: keep
+        return out
+
     def _file_may_match(self, st: dict[str, Any] | None,
                         ranges: dict[str, list]) -> bool:
         """May a file with these recorded stats contain a row inside the
@@ -830,12 +893,14 @@ class SnapshotTable:
         ``.filter(where)``) — passing it HERE additionally prunes the file
         list with the manifest's per-file bounds (key ranges + non-key
         ``stats_cols``) before the scan is even planned, via the same
-        conservative range extraction delete_where uses. Skipped whenever
-        the selection includes merge-on-read deltas: a delta row supersedes
-        base rows AT READ TIME, so dropping a delta file on a non-key range
-        could resurrect a stale base row — with live deltas the filter
-        still applies, only the file-level skip is off (compact() restores
-        it). The predicate may reference virtual evolved columns (it runs
+        conservative range extraction delete_where uses. With live
+        merge-on-read deltas the delta files are ALWAYS read (any delta row
+        can supersede a base row at resolve time) and base files prune under
+        the stricter delta-aware rule (``_prune_base_under_deltas``:
+        filter-dead AND key-disjoint from every same-bucket delta) — the
+        steady-state trickle path keeps its scan pruning without the
+        stale-row-resurrection hazard. The predicate may reference virtual
+        evolved columns (it runs
         after projection); only physical NON-shadowed stats columns
         contribute to pruning.
 
@@ -882,25 +947,32 @@ class SnapshotTable:
         # MoR merges recorded in the manifest (broadcast key-set plan: the
         # base never shuffles, see _mor_resolved). Pure-CoW reads (no delta
         # file selected) skip this entirely — zero cost on the existing path.
+        ranges: dict[str, list] = {}
+        if where is not None:
+            ranges = self._extract_col_ranges(spark, where, schema)
+            # a column shadowed by an evolved virtual projection reads
+            # its value from the payload parse (or a coalesce with the
+            # physical), so the PHYSICAL per-file bounds do not bound
+            # what the filter will see — never prune on such a column
+            for c in m.get("evolved", {}):
+                ranges.pop(c, None)
         delta_sel = [f for f in files if f.startswith("delta-v")]
         if delta_sel:
             base_sel = [f for f in files if not f.startswith("delta-v")]
+            if ranges:
+                # delta-aware pruning: deltas are ALWAYS read (they can
+                # carry the winner for any key they name); base files skip
+                # only when provably filter-dead AND delta-disjoint
+                base_sel = self._prune_base_under_deltas(
+                    m, base_sel, delta_sel, ranges)
             df = self._mor_resolved(spark, m, base_sel, delta_sel)
         else:
-            if where is not None:
-                ranges = self._extract_col_ranges(spark, where, schema)
-                # a column shadowed by an evolved virtual projection reads
-                # its value from the payload parse (or a coalesce with the
-                # physical), so the PHYSICAL per-file bounds do not bound
-                # what the filter will see — never prune on such a column
-                for c in m.get("evolved", {}):
-                    ranges.pop(c, None)
-                if ranges:
-                    stats_map = m.get("file_stats", {})
-                    files = [
-                        f for f in files
-                        if self._file_may_match(stats_map.get(f), ranges)
-                    ]
+            if ranges:
+                stats_map = m.get("file_stats", {})
+                files = [
+                    f for f in files
+                    if self._file_may_match(stats_map.get(f), ranges)
+                ]
             df = self._read_files(spark, files, schema)
         out = self._project(df, m, include_tombstones, with_payload,
                             payload_col, seq_col)
@@ -2162,6 +2234,43 @@ def _parquet_num_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_key_bounds(path: str, cols: tuple[str, ...]) -> tuple | None:
+    """Conservative (min_tuple, max_tuple) over ``cols`` from a parquet
+    footer, or None when any row group lacks usable statistics for any of
+    them. Per-column bounds only WIDEN the true lexicographic tuple interval
+    (the true min tuple is >= the tuple of per-column minima), so the result
+    is safe for disjointness tests — it can only under-prune. Parquet
+    truncates long binary stats but keeps them valid bounds (a truncated min
+    is a prefix <= the true min; writers bump a truncated max above the true
+    max). Driver-side metadata read, no Spark job."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = md.schema.names
+    try:
+        idxs = [names.index(c) for c in cols]
+    except ValueError:
+        return None
+    los: list = [None] * len(cols)
+    his: list = [None] * len(cols)
+    for rg in range(md.num_row_groups):
+        for j, idx in enumerate(idxs):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            los[j] = mn if los[j] is None else min(los[j], mn)
+            his[j] = mx if his[j] is None else max(his[j], mx)
+    if any(v is None for v in los):
+        return None
+    return tuple(los), tuple(his)
 
 
 def _parse_byte_size(raw: Any) -> int:

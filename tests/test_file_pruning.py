@@ -402,9 +402,9 @@ def test_nonkey_stats_prune_reads_and_retention(spark, tmp_path):
 
 
 def test_nonkey_stats_skip_mor_deltas_on_read(spark, tmp_path):
-    """With live merge-on-read deltas, non-key file pruning must be OFF:
-    dropping a delta file on a ts range could resurrect a superseded base
-    row. The filter still applies; results must match resolve-then-filter."""
+    """With live merge-on-read deltas, delta files are ALWAYS read (never
+    range-pruned): dropping a delta file on a ts range could resurrect a
+    superseded base row. Results must match resolve-then-filter."""
     import datetime as dt
 
     old, new = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
@@ -422,6 +422,85 @@ def test_nonkey_stats_skip_mor_deltas_on_read(spark, tmp_path):
     # p0001's winner is the NEW delta row -> excluded; old base row must NOT
     # resurface through pruning
     assert got == sorted(f"p{i:04d}" for i in range(20) if i != 1)
+
+
+def test_delta_aware_pruning_skips_cold_base_files(spark, tmp_path):
+    """Round-5 task: under live MoR deltas a predicate read must still
+    file-prune the BASE — skipping base files that are both filter-dead and
+    key-disjoint from every delta — while reading every delta. The trickle
+    delta here is below the stats-job threshold, so its key bounds come from
+    the parquet footer fallback. Done-criterion: pruned read equals the
+    unpruned semantics and scans strictly fewer files."""
+    import datetime as dt
+
+    old, new = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=2, target_file_rows=10)
+    t.create(TS_SCHEMA)
+    t.merge(spark, spark.createDataFrame(
+        [("r", f"p{i:04d}", f"v-{i}", 1, f"e1-{i}", old) for i in range(40)],
+        TS_SCHEMA))
+    m = t.manifest()
+    n_base = sum(len(fs) for fs in m["buckets"].values())
+    assert n_base >= 4
+    # trickle MoR update: 1 row, far below delta_stats_min_rows -> the delta
+    # has NO manifest stats; pruning must fall back to footer bounds
+    t.merge(spark, spark.createDataFrame(
+        [("r", "p0001", "hot", 50, "e50", new)], TS_SCHEMA),
+        merge_mode="mor")
+    m = t.manifest()
+    delta_files = [f for fs in t._deltas_of(m).values() for f in fs]
+    assert delta_files and all(f not in dict(m["file_stats"].items())
+                               for f in delta_files)
+
+    w = "updated_ts >= TIMESTAMP '2024-03-01 00:00:00'"
+    df = t.read(spark, where=w)
+    assert sorted(r["path"] for r in df.collect()) == ["p0001"]
+    scanned = {p.split("/t/", 1)[1] for p in df.inputFiles()}
+    # every delta read; base pruned to the files that could matter
+    assert set(delta_files) <= scanned
+    n_base_scanned = len(scanned - set(delta_files))
+    assert n_base_scanned < n_base, scanned
+    # identical semantics to the unpruned filter (resolve-then-filter)
+    exp = sorted(r["path"] for r in t.read(spark).filter(w).collect())
+    assert exp == ["p0001"]
+
+
+def test_delta_aware_pruning_keeps_winner_base_file(spark, tmp_path):
+    """The resurrection guard: a base file that is filter-DEAD but holds the
+    LWW winner for a key named by a live delta must stay in the scan —
+    pruning it would let the STALE delta row win the resolve and pass the
+    filter. (This is exactly the hazard that justified disabling pruning
+    wholesale before the delta-aware rule.)"""
+    import datetime as dt
+
+    old, new = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=1, target_file_rows=10)
+    t.create(TS_SCHEMA)
+    # key-sorted split: file1 = p0000..p0009 (NEW ts, seq 100) — filter-dead
+    # for the < March predicate; file2 = p0010..p0019 (old ts, seq 1)
+    rows = [("r", f"p{i:04d}", f"v-{i}", 100 if i < 10 else 1,
+             f"e-{i}", new if i < 10 else old) for i in range(20)]
+    t.merge(spark, spark.createDataFrame(rows, TS_SCHEMA))
+    # STALE delta for p0005 (seq 50 < base's 100) with an OLD ts that
+    # matches the predicate — it must LOSE the resolve
+    t.merge(spark, spark.createDataFrame(
+        [("r", "p0005", "stale", 50, "e-stale", old)], TS_SCHEMA),
+        merge_mode="mor")
+    w = "updated_ts < TIMESTAMP '2024-03-01 00:00:00'"
+    df = t.read(spark, where=w)
+    got = sorted(r["path"] for r in df.collect())
+    # p0005's winner is the base row (new ts) -> excluded; the stale delta
+    # row must NOT appear
+    assert got == [f"p{i:04d}" for i in range(10, 20)]
+    # and the winner-holding base file was indeed kept in the scan
+    m = t.manifest()
+    stats = m["file_stats"]
+    winner_files = {
+        f for fs in m["buckets"].values() for f in fs
+        if tuple(stats[f]["min"]) <= ("r", "p0005") <= tuple(stats[f]["max"])
+    }
+    scanned = {p.split("/t/", 1)[1] for p in df.inputFiles()}
+    assert winner_files <= scanned
 
 
 def test_evolved_shadowed_stats_column_never_prunes(spark, tmp_path):
