@@ -217,7 +217,9 @@ def pack_sequences(df: DataFrame, budget: int = 256, n_groups: int = 8,
 
 def export_corpus(df: DataFrame, path: str, shard_rows: int = 100_000,
                   id_col: str = "doc_id", lang_col: str = "lang",
-                  val_threshold_hex: str = "1999999a") -> None:
+                  val_threshold_hex: str = "1999999a",
+                  shard_bytes: int | None = None,
+                  text_col: str = "text") -> None:
     """Last-mile training export: write the corpus as
     ``path/split=train|val/lang=*/*.parquet`` shards of at most
     ``shard_rows`` rows each — the layout a training loader consumes
@@ -230,13 +232,48 @@ def export_corpus(df: DataFrame, path: str, shard_rows: int = 100_000,
     and ``maxRecordsPerFile`` caps shard size WITHIN a group — the writer
     splits oversized groups into numbered shards without another shuffle.
     At 100 TB the one hash shuffle is the export's only data movement, and
-    shard size is governed per-file, not per-task."""
+    shard size is governed per-file, not per-task.
+
+    ``shard_bytes``: opt-in BYTE-based sharding — a row cap makes oversized
+    shards whenever documents are wide, so training exports that must hit a
+    file-size budget cap by estimated payload bytes instead. Rows are
+    assigned to shards by a cumulative ``octet_length(text_col)`` running
+    sum within each (split, lang) group (window ordered by ``id_col`` —
+    deterministic; the group is a single window task, the same per-group
+    funnel the row-capped path's repartition already creates), then written
+    under ``split=*/lang=*/shard=N/`` directories. The shard value rides the
+    directory, so no matter how tasks split or collide after the
+    ``repartition(split, lang, shard)``, a data FILE only ever holds rows of
+    one shard — files can come out smaller than the target, never multiples
+    of it (one document past the boundary is the worst overshoot). Write
+    parallelism improves from per-group to per-shard as a side effect."""
     from nostr_data_pipeline_spark.operators.analytics import (
         deterministic_split,
     )
 
     out = deterministic_split(df, id_col=id_col,
                               val_threshold_hex=val_threshold_hex)
+    if shard_bytes is not None:
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy("split", lang_col)
+             .orderBy(id_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = F.sum(F.octet_length(F.col(text_col))).over(w)
+        # the running sum INCLUDES the current row, so subtracting half a
+        # row would straddle; integer-divide the pre-row prefix instead:
+        # shard k holds the rows whose preceding bytes fall in
+        # [k*shard_bytes, (k+1)*shard_bytes)
+        shard = ((cum - F.octet_length(F.col(text_col)))
+                 / F.lit(int(shard_bytes))).cast("long")
+        (
+            out.withColumn("shard", shard)
+            .repartition(F.col("split"), F.col(lang_col), F.col("shard"))
+            .write.mode("overwrite")
+            .partitionBy("split", lang_col, "shard")
+            .parquet(path)
+        )
+        return
     (
         out.repartition(F.col("split"), F.col(lang_col))
         .write.mode("overwrite")

@@ -244,3 +244,57 @@ def test_export_corpus_layout_and_shards(spark, tmp_path):
     a = {(r["doc_id"], r["split"]) for r in spark.read.parquet(out).select("doc_id", "split").collect()}
     b = {(r["doc_id"], r["split"]) for r in spark.read.parquet(again).select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_export_corpus_byte_shards_bounded_under_skew(spark, tmp_path):
+    """Round-5 task: `shard_bytes` caps shards by payload bytes, not rows.
+    With doc lengths skewed 100x (a row cap would make 100x-varying shards),
+    every shard directory's total text bytes must stay within 2x of the
+    target in BOTH directions: <= target + one max doc (the only legal
+    overshoot), and >= target/2 for all but each group's final shard."""
+    import os
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from nostr_data_pipeline_spark.operators.corpus import export_corpus
+
+    # 60 skinny docs (~40 B) + 40 wide docs (~4 kB), interleaved by id so
+    # wide ones don't cluster; deterministic synthetic text
+    rows = []
+    for i in range(100):
+        width = 4000 if i % 5 == 0 or i % 5 == 3 else 40
+        rows.append((i, "en" if i % 2 == 0 else "fr", "x" * width))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = str(tmp_path / "bexport")
+    target = 16_000
+    export_corpus(d, out, shard_bytes=target)
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    # layout gained a shard= level; splits/langs still partition the tree
+    assert {p for p in os.listdir(out) if p.startswith("split=")} \
+        == {"split=train", "split=val"}
+
+    per_shard = got.groupBy("split", "lang", "shard").agg(
+        F.sum(F.octet_length("text")).alias("bytes")).collect()
+    max_doc = 4000
+    groups = defaultdict(list)
+    for r in per_shard:
+        groups[(r["split"], r["lang"])].append((r["shard"], r["bytes"]))
+    assert any(len(v) > 1 for v in groups.values())  # sharding happened
+    for (_s, _l), shards in groups.items():
+        shards.sort()
+        for shard_id, nbytes in shards:
+            assert nbytes <= target + max_doc, (shard_id, nbytes)
+        # all but the tail shard are at least half-full: the 2x bound
+        # holds from below too (no dust shards from the byte assignment)
+        for _shard_id, nbytes in shards[:-1]:
+            assert nbytes >= target / 2, shards
+
+    # determinism: re-export from a different partitioning agrees per row
+    again = str(tmp_path / "bexport2")
+    export_corpus(d.repartition(7), again, shard_bytes=target)
+    a = sorted(tuple(r) for r in got.select("doc_id", "split", "shard").collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(again)
+               .select("doc_id", "split", "shard").collect())
+    assert a == b
