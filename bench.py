@@ -90,6 +90,154 @@ def mor_read_amplification() -> None:
     print(json.dumps(out))
 
 
+def manifest_commit_curve() -> None:
+    """`python bench.py --manifest-curve`: 1-key merge wall time vs TOTAL
+    live file count in the manifest (round-5 verdict task: sharded metadata
+    must make commit cost flat in file count). The table's real data stays
+    tiny and constant; the manifest is inflated with plausible fake file
+    entries in every bucket EXCEPT the merged key's, exactly the shape of a
+    huge table receiving a trickle update. The merge passes the exact
+    source-bucket hint the streaming replayer supplies. Prints one JSON
+    line: per-file-count merge seconds (best of 3)."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from nostr_data_pipeline_spark.session import get_spark
+    from nostr_data_pipeline_spark.tables import snapshot_table as st_mod
+    from nostr_data_pipeline_spark.tables.snapshot_table import SnapshotTable
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench-manifest-curve", cores=cpus)
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("last_seq", T.LongType()),
+        T.StructField("last_event_id", T.StringType()),
+    ])
+    tmp = tempfile.mkdtemp(prefix="manifest-curve-")
+    out: dict = {"metric": "1-key merge sec vs manifest file count",
+                 "unit": "sec", "cpus": cpus, "merge_sec_by_files": {}}
+
+    def _inflate(t: SnapshotTable, per_bucket: int, skip: str) -> int:
+        v = t.current_version()
+        with open(t._manifest_path(v)) as f:
+            m = json.load(f)
+        added = 0
+        for b, e in list(m["bucket_shards"].items()):
+            if b == skip:
+                continue
+            sh = dict(t._load_shard(e["path"]))
+            files, stats = list(sh["files"]), dict(sh["stats"])
+            for i in range(per_bucket):
+                fake = f"data-v99999999/_bucket={b}/part-fake-{i:06d}.parquet"
+                files.append(fake)
+                stats[fake] = {"min": [f"zz{i:06d}", "a"],
+                               "max": [f"zz{i:06d}", "z"], "rows": 1}
+                added += 1
+            rel = f"shards/shard-b{b}-{_uuid.uuid4().hex[:12]}.json"
+            with open(os.path.join(t.path, rel), "w") as f:
+                json.dump({"files": files, "stats": stats}, f)
+            m["bucket_shards"][b] = {"path": rel, "n": len(files)}
+        with open(t._manifest_path(v), "w") as f:
+            json.dump(m, f)
+        st_mod._SHARD_CACHE.clear()
+        return added
+
+    try:
+        from pyspark.sql import functions as F  # noqa: F401
+
+        for total in (1_000, 10_000, 100_000):
+            t = SnapshotTable(os.path.join(tmp, f"t{total}"),
+                              num_buckets=32, target_file_rows=50)
+            t.create(schema)
+            rows = [("r", f"p{i:05d}", f"v{i}", 1, f"e{i}")
+                    for i in range(800)]
+            t.merge(spark, spark.createDataFrame(rows, schema))
+            key = ("r", "p00007")
+            [b] = t.buckets_for_keys(spark, [key])
+            _inflate(t, per_bucket=total // 31, skip=str(b))
+            best = None
+            for k in range(3):
+                st_mod._SHARD_CACHE.clear()  # cold metadata each trial
+                batch = spark.createDataFrame(
+                    [("r", "p00007", f"u{k}", 100 + k, f"eu{k}")], schema)
+                t0 = time.perf_counter()
+                t.merge(spark, batch, source_buckets=[b])
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out["merge_sec_by_files"][str(total)] = round(best, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(_json.dumps(out))
+
+
+def skew_lww_bench() -> None:
+    """`python bench.py --skew-lww`: hot-key skew datapoint for the LWW
+    reduction (round-5 verdict task; SURVEY §4 skew handling). Builds a
+    change log where ONE (repo, path) key holds ~30% of all events — the
+    adversarial mega-entity shape — and times resolve_lww over it in
+    every mode: `maxseq` (winner agg + broadcast join-back; partial
+    aggregation collapses the hot key map-side), `maxseq_shuffle` (same agg,
+    shuffle join-back), `agg` (single max_by struct agg) and
+    `salted_window` (two-phase salted window — the mode built FOR skew).
+    Prints one JSON line."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from nostr_data_pipeline_spark.cdc.generator import LogSpec, write_log_spark
+    from nostr_data_pipeline_spark.cdc.lww import resolve_lww
+    from nostr_data_pipeline_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "4000000"))
+    spark = get_spark("bench-skew-lww", cores=cpus)
+    tmp = tempfile.mkdtemp(prefix="skew-lww-")
+    out: dict = {"metric": "resolve_lww sec on 30%-hot-key log",
+                 "unit": "sec", "events": n_events, "cpus": cpus}
+    try:
+        log_dir = os.path.join(tmp, "log")
+        write_log_spark(spark, log_dir, LogSpec(
+            n_events=n_events, n_repos=max(50, n_events // 2000),
+            paths_per_repo=50, n_files=32, seed=42))
+        # route ~30% of events to one mega key, keep (seq, event_id) unique
+        log = (
+            spark.read.parquet(log_dir)
+            .withColumn("_hot",
+                        F.pmod(F.xxhash64("event_id"), F.lit(10)) < 3)
+            .withColumn("repo", F.when(F.col("_hot"), F.lit("megarepo"))
+                        .otherwise(F.col("repo")))
+            .withColumn("path", F.when(F.col("_hot"), F.lit("hotpath"))
+                        .otherwise(F.col("path")))
+            .drop("_hot")
+        )
+        skewed_dir = os.path.join(tmp, "skewed")
+        log.write.parquet(skewed_dir)
+        src = spark.read.parquet(skewed_dir)
+        hot = src.filter("repo = 'megarepo'").count()
+        out["hot_key_share"] = round(hot / src.count(), 3)
+
+        def timed(mode: str) -> float:
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                resolve_lww(src, mode=mode,
+                            max_broadcast_keys=None).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
+
+        timed("maxseq")  # untimed warm-up lap for codegen/page cache
+        for mode in ("maxseq", "maxseq_shuffle", "agg", "salted_window"):
+            out[mode] = timed(mode)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(_json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -162,6 +310,22 @@ def main() -> None:
     for name, fn in ROWS_ONLY_QUERIES.items():
         timings[name] = _best_of(fn)
 
+    # production-hash-mode columns for the queries whose CONTRACT form runs
+    # the md5 oracle mode (deliberately 2-3x costlier per hash than the
+    # xxhash64 production default) — the round-over-round perf signal must
+    # track the path users actually run, not only the verification mode
+    from nostr_data_pipeline_spark.operators.dedup import (
+        q_dedup_incremental, q_dedup_minhash_lsh, q_dedup_simhash,
+    )
+
+    for name, qfn in (
+        ("dedup_minhash_lsh_xxh64", q_dedup_minhash_lsh),
+        ("dedup_simhash_xxh64", q_dedup_simhash),
+        ("dedup_incremental_xxh64", q_dedup_incremental),
+    ):
+        timings[name] = _best_of(
+            lambda s, d, _f=qfn: _f(s, d, hash_fn="xxhash64"))
+
     # --- primary metric: CDC replay -> upsert throughput ---------------------
     from nostr_data_pipeline_spark.cdc.generator import (
         LogSpec, write_log, write_log_spark,
@@ -197,18 +361,36 @@ def main() -> None:
         # identical replay mid-spike), so the minimum is the least-
         # contaminated steady-state estimate — same protocol as
         # bench_scaling.py. Each trial replays into a FRESH table.
-        replay_trials = int(os.environ.get("SPARK_GRAFT_CDC_TRIALS", "2"))
+        # ADAPTIVE (round-5, after the r4 driver run recorded trials
+        # 12.3s/6.1s — a 2x spread no fixed best-of-2 can bound): start at
+        # best-of-3 and keep sampling until the two FASTEST trials agree
+        # within 15% (the min is then a replicated estimate, not a one-off
+        # quiet moment), capped at trials+3 extra so a loud-all-day host
+        # still terminates — the cap trip is visible in the reported spread.
+        replay_trials = int(os.environ.get("SPARK_GRAFT_CDC_TRIALS", "3"))
         replay_sec, result = None, None
         trial_secs = []
-        for i in range(max(1, replay_trials)):
+
+        def _replay_trial(i: int) -> tuple[float, object]:
             table = SnapshotTable(os.path.join(tmp, f"tbl{i}"), num_buckets=32)
             t0 = time.perf_counter()
             res_i = replay_log(spark, table, log_dir, n_batches=cdc_batches,
                                collect_lineage=False)
-            dt = time.perf_counter() - t0
+            return time.perf_counter() - t0, res_i
+
+        i = 0
+        while i < max(1, replay_trials) + 3:
+            dt, res_i = _replay_trial(i)
             trial_secs.append(round(dt, 3))
             if replay_sec is None or dt < replay_sec:
                 replay_sec, result = dt, res_i
+            i += 1
+            if i >= max(1, replay_trials):
+                fastest2 = sorted(trial_secs)[:2]
+                if fastest2[1] <= fastest2[0] * 1.15:
+                    break
+        f2 = sorted(trial_secs)[:2]
+        replay_min_spread = round(f2[-1] / f2[0] - 1, 3) if len(f2) > 1 else 0.0
         # exact delivered count (sample() dup injection is approximate)
         n_delivered = spark.read.parquet(log_dir).count()
         events_per_sec = n_delivered / replay_sec
@@ -331,6 +513,9 @@ def main() -> None:
         "cdc_events_delivered": n_delivered,
         "cdc_events_per_sec": round(events_per_sec, 1),
         "cdc_replay_trial_secs": trial_secs,
+        # relative gap between the two fastest trials — <= 0.15 means the
+        # reported minimum was replicated, not a single lucky window
+        "cdc_replay_min_spread": replay_min_spread,
         "stream_events_per_sec": round(stream_events_per_sec, 1),
         "stream_trial_secs": stream_trial_secs,
         "stream_recipe": "mor-delta+vouched-broadcast+final-fold",
@@ -346,4 +531,8 @@ def main() -> None:
 if __name__ == "__main__":
     if "--mor-curve" in sys.argv[1:]:
         sys.exit(mor_read_amplification())
+    if "--manifest-curve" in sys.argv[1:]:
+        sys.exit(manifest_commit_curve())
+    if "--skew-lww" in sys.argv[1:]:
+        sys.exit(skew_lww_bench())
     sys.exit(main())

@@ -758,24 +758,28 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, sf_dir, name)
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """Contract query: ORACLE-PORTABLE md5 mode (hash64), so the full
-    MinHash->LSH->verify pipeline is value-checked against the DuckDB
+def q_dedup_minhash_lsh(spark, sf_dir, hash_fn: str = "md5"):
+    """Contract query: ORACLE-PORTABLE md5 mode (hash64) by default, so the
+    full MinHash->LSH->verify pipeline is value-checked against the DuckDB
     replica SQL (analytics._minhash_md5_sql()). Production callers default to
     hash_fn='xxhash64' (faster; replica-verified in
-    tests/test_dedup_fixtures.py instead)."""
+    tests/test_dedup_fixtures.py instead) — bench.py times BOTH modes so the
+    round-over-round perf signal tracks the production path too."""
     return minhash_near_duplicates(
-        _load(spark, sf_dir, "documents"), threshold=0.3, hash_fn="md5"
+        _load(spark, sf_dir, "documents"), threshold=0.3, hash_fn=hash_fn
     )
 
 
-def q_dedup_simhash(spark, sf_dir):
+def q_dedup_simhash(spark, sf_dir, hash_fn: str = "md5"):
     """Contract query: oracle-portable md5 mode with the 60-bit / 4x15-bit
-    fingerprint (analytics._simhash_md5_sql() is the DuckDB replica). Output is
-    chunking-independent; see simhash_near_duplicates."""
+    fingerprint (analytics._simhash_md5_sql() is the DuckDB replica) by
+    default. Output is chunking-independent; see simhash_near_duplicates.
+    hash_fn='xxhash64' runs the production 64-bit fingerprint (bench.py
+    times both modes)."""
+    kw = {"chunk_bits": 15} if hash_fn == "md5" else {}
     return simhash_near_duplicates(
         _load(spark, sf_dir, "documents"), max_hamming=3,
-        chunk_bits=15, hash_fn="md5",
+        hash_fn=hash_fn, **kw,
     )
 
 
@@ -795,7 +799,7 @@ def q_dedup_canonical(spark, sf_dir, mode: str = "minlabel"):
     return canonical_docs(docs, pairs, mode=mode).orderBy("doc_id")
 
 
-def q_dedup_incremental(spark, sf_dir):
+def q_dedup_incremental(spark, sf_dir, hash_fn: str = "md5"):
     """Dedup-at-ingest contract query: index the even-id half of the
     documents table in a throwaway MinHashIndex, then check the odd-id half
     against it (plus within-batch pairs). Runs the index's oracle-portable
@@ -819,7 +823,7 @@ def q_dedup_incremental(spark, sf_dir):
         # merge keep the throwaway-index fixed cost (2 creates + 2 MERGE
         # commits) off the gate's critical path (the production sizing rule
         # lives on SnapshotTable.rebucket)
-        idx = MinHashIndex.create(spark, tmp, num_buckets=4, hash_fn="md5")
+        idx = MinHashIndex.create(spark, tmp, num_buckets=4, hash_fn=hash_fn)
         idx.add(spark, base)
         # check() localCheckpoints eagerly, so the plan no longer reads the
         # temp index after return and the cleanup below is safe
