@@ -387,7 +387,8 @@ def main() -> None:
             i += 1
             if i >= max(1, replay_trials):
                 fastest2 = sorted(trial_secs)[:2]
-                if fastest2[1] <= fastest2[0] * 1.15:
+                # a single configured trial opts out of the adaptive check
+                if len(fastest2) < 2 or fastest2[1] <= fastest2[0] * 1.15:
                     break
         f2 = sorted(trial_secs)[:2]
         replay_min_spread = round(f2[-1] / f2[0] - 1, 3) if len(f2) > 1 else 0.0
@@ -451,15 +452,24 @@ def main() -> None:
         timings["cdc_stream"] = round(stream_sec, 3)
         stream_events_per_sec = n_delivered / stream_sec
 
-        cow_table = SnapshotTable(os.path.join(tmp, "stbl_cow"), num_buckets=32)
-        rep_cow = StreamingReplayer(
-            cow_table, log_dir, os.path.join(tmp, "ckpt_cow"),
-            max_files_per_trigger=8, collect_lineage=False,
-        )
-        t0 = time.perf_counter()
-        q = rep_cow.start(spark, available_now=True)
-        q.awaitTermination()
-        timings["cdc_stream_cow"] = round(time.perf_counter() - t0, 3)
+        # best-of-2 like cdc_stream: the CoW streaming plan shapes (guarded
+        # resolve, rewrite merge) are NOT warmed by the MoR warm-up stream
+        # above, so a single-shot measurement records one-time codegen —
+        # observed 31s cold vs ~13s warm for identical work
+        cow_sec = None
+        for i in range(max(1, stream_trials)):
+            cow_table = SnapshotTable(
+                os.path.join(tmp, f"stbl_cow{i}"), num_buckets=32)
+            rep_cow = StreamingReplayer(
+                cow_table, log_dir, os.path.join(tmp, f"ckpt_cow{i}"),
+                max_files_per_trigger=8, collect_lineage=False,
+            )
+            t0 = time.perf_counter()
+            q = rep_cow.start(spark, available_now=True)
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            cow_sec = dt if cow_sec is None else min(cow_sec, dt)
+        timings["cdc_stream_cow"] = round(cow_sec, 3)
 
         # --- trickle merge: the steady-state CDC shape (small batch into a
         # LARGE existing table), where write strategy dominates. Same batch,
