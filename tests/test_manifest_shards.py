@@ -146,6 +146,40 @@ def test_untouched_buckets_carry_shards_by_reference(spark, tmp_path):
     assert t.read(spark).filter("path = 'p00003'").first()["name"] == "v2"
 
 
+def test_legacy_manifest_upgrades_through_data_merge(spark, tmp_path):
+    """A DATA commit (CoW merge with a touched-bucket set) against a legacy
+    inline manifest must also upgrade it: the touched-carry logic cannot
+    carry by shard reference (there are no parent shards), so every bucket
+    rebuilds from the inline maps and the inline stats keep driving pruning
+    afterwards."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4,
+                      target_file_rows=25)
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, _rows(100)))
+    v = t.current_version()
+    mp = t._manifest_path(v)
+    m = json.load(open(mp))
+    assembled = t.manifest()
+    m["buckets"] = {b: list(fs) for b, fs in assembled["buckets"].items()}
+    m["file_stats"] = dict(assembled["file_stats"].items())
+    del m["bucket_shards"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    st_mod._SHARD_CACHE.clear()
+
+    t2 = SnapshotTable.open(str(tmp_path / "t"))
+    res = t2.merge(spark, _df(spark, [("r", "p00003", "v2", None, 999, "e2")]))
+    assert res["files_rewritten"] == 1  # inline stats still pruned the merge
+    m2 = json.load(open(t2._manifest_path(t2.current_version())))
+    assert m2.get("bucket_shards") and "buckets" not in m2
+    got = {r["path"]: r["name"] for r in t2.read(spark).collect()}
+    assert len(got) == 100 and got["p00003"] == "v2"
+    # carried files' stats survived into the shards (prunable next merge)
+    stats = t2.manifest()["file_stats"]
+    n_base = sum(len(fs) for fs in t2.manifest()["buckets"].values())
+    assert len(dict(stats.items())) == n_base
+
+
 def test_legacy_inline_manifest_upgrades_on_next_commit(spark, tmp_path):
     """A pre-shard manifest (inline buckets/file_stats, no bucket_shards)
     must read correctly and auto-upgrade on its next commit WITHOUT losing
