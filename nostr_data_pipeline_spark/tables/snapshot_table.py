@@ -619,6 +619,12 @@ class SnapshotTable:
     # job (see _merge_delta) — the streaming trickle path's fixed cost.
     delta_stats_min_rows: int = 100_000
 
+    # an UNHINTED CoW merge into a sharded table with at least this many
+    # live files first derives the bucket hint from the source (one narrow
+    # distinct job) rather than loading every bucket's metadata shard —
+    # see _probe_touched_files. Below it, one job beats two.
+    probe_prescan_min_files: int = 50_000
+
     def _mor_broadcast_ceiling(self, spark: SparkSession) -> int:
         if self.mor_broadcast_bytes is not None:
             return self.mor_broadcast_bytes
@@ -1544,6 +1550,18 @@ class SnapshotTable:
         if total_files == 0:
             return list(range(self.num_buckets)), set()
         stats_map = m.get("file_stats", {})
+        # UNHINTED merge into a LARGE sharded table: derive the hint from
+        # the source itself — one narrow distinct over the `_bucket` column
+        # the caller already computed (collect is <= num_buckets rows).
+        # The extra job costs one column-pruned scan of the batch; what it
+        # buys is metadata I/O proportional to the BATCH's bucket footprint
+        # instead of the TABLE's file count — the last O(all files) path on
+        # the merge. Small tables keep the single-job plan.
+        if (source_buckets is None and isinstance(b_all, _ShardedBuckets)
+                and total_files >= self.probe_prescan_min_files):
+            source_buckets = [
+                r[0] for r in src.select("_bucket").distinct().collect()
+            ]
         # with an exact source-bucket hint, only the hinted buckets' file
         # ranges can ever join (the probe joins on bucket equality) — so
         # only THOSE shards are loaded and broadcast: a 1-key trickle merge

@@ -124,6 +124,31 @@ def test_point_merge_on_10k_file_table_reads_one_shard(spark, tmp_path):
     assert len(loaded) == 1
 
 
+def test_unhinted_point_merge_prescans_source_buckets(spark, tmp_path):
+    """Without a source_buckets hint, a merge into a big sharded table must
+    derive the hint from the batch itself (one narrow distinct pre-job) and
+    still load only the touched bucket's shard — the unhinted path may not
+    regress to O(all files) metadata I/O."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=16,
+                      target_file_rows=50)
+    t.probe_prescan_min_files = 5_000  # test-sized threshold
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, _rows(400)))
+
+    key = ("r", "p00007")
+    [b] = t.buckets_for_keys(spark, [key])
+    bs = str(b)
+    assert _inject_fake_files(t, per_bucket=700, skip_bucket=bs) >= 10_000
+
+    st_mod._SHARD_CACHE.clear()
+    loaded = _instrument_loads(t)
+    t.merge(spark, _df(spark, [("r", "p00007", "unhinted", None, 500, "eu")]))
+    assert len(loaded) == 1, f"unhinted merge loaded shards: {sorted(loaded)}"
+    assert next(iter(loaded)).startswith(f"shards/shard-b{bs}-")
+    got = t.read_keys(spark, [key]).collect()
+    assert len(got) == 1 and got[0]["name"] == "unhinted"
+
+
 def test_untouched_buckets_carry_shards_by_reference(spark, tmp_path):
     """Two merges into disjoint key sets: buckets untouched by the second
     merge keep their exact shard paths from the first commit (carried by
