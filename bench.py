@@ -230,7 +230,9 @@ def skew_lww_bench() -> None:
                 best = dt if best is None else min(best, dt)
             return round(best, 3)
 
-        timed("maxseq")  # untimed warm-up lap for codegen/page cache
+        # ONE untimed warm-up lap for codegen/page cache (timed() would
+        # burn three full resolves to warm what one covers)
+        resolve_lww(src, mode="maxseq", max_broadcast_keys=None).count()
         for mode in ("maxseq", "maxseq_shuffle", "agg", "salted_window"):
             out[mode] = timed(mode)
     finally:

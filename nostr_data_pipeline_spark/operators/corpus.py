@@ -259,13 +259,17 @@ def export_corpus(df: DataFrame, path: str, shard_rows: int = 100_000,
         w = (Window.partitionBy("split", lang_col)
              .orderBy(id_col)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        cum = F.sum(F.octet_length(F.col(text_col))).over(w)
+        # NULL text counts as 0 bytes: octet_length(NULL) would propagate
+        # to a NULL shard id and exile the row to a
+        # shard=__HIVE_DEFAULT_PARTITION__ directory the row-capped path
+        # never produces
+        rbytes = F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))
+        cum = F.sum(rbytes).over(w)
         # the running sum INCLUDES the current row, so subtracting half a
         # row would straddle; integer-divide the pre-row prefix instead:
         # shard k holds the rows whose preceding bytes fall in
         # [k*shard_bytes, (k+1)*shard_bytes)
-        shard = ((cum - F.octet_length(F.col(text_col)))
-                 / F.lit(int(shard_bytes))).cast("long")
+        shard = ((cum - rbytes) / F.lit(int(shard_bytes))).cast("long")
         (
             out.withColumn("shard", shard)
             .repartition(F.col("split"), F.col(lang_col), F.col("shard"))

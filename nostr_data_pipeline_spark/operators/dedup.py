@@ -476,6 +476,7 @@ def _cc_star(pairs: DataFrame, id1_col: str, id2_col: str,
         return relink.unionByName(self_link).dropDuplicates(["hi", "lo"])
 
     converged = False
+    malformed_fixed_point = False
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # converged when the round was a fixed point of the edge set; the
@@ -489,9 +490,9 @@ def _cc_star(pairs: DataFrame, id1_col: str, id2_col: str,
             # round — a hypothetical period-2 oscillation (large-star
             # perturbs, small-star undoes) would look like a fixed point
             # here. Guard: the converged set must be disjoint stars — no
-            # node both a spoke (hi) and a center (lo) — else fall through
-            # to the non-convergence warning instead of extracting wrong
-            # labels silently. One narrow semi-join probe, limit-1.
+            # node both a spoke (hi) and a center (lo) — else warn with the
+            # dedicated malformed-fixed-point message instead of extracting
+            # wrong labels silently. One narrow semi-join probe, limit-1.
             spoke_center_overlap = (
                 edges.select(F.col("hi").alias("n"))
                 .join(edges.select(F.col("lo").alias("n")).distinct(),
@@ -499,9 +500,22 @@ def _cc_star(pairs: DataFrame, id1_col: str, id2_col: str,
                 .limit(1).count()
             )
             converged = spoke_center_overlap == 0
+            malformed_fixed_point = not converged
             break
         edges = new_edges
-    if not converged:
+    if malformed_fixed_point:
+        # distinct failure, distinct advice: raising max_iter cannot fix a
+        # fixed point of the composition that is not a disjoint star set
+        warnings.warn(
+            "connected_components(mode='star'): the edge set reached a "
+            "fixed point that is NOT a disjoint star set (some node is "
+            "both a spoke and a center) — a composition-level oscillation "
+            "the per-operation termination argument does not cover. Labels "
+            "are an upper bound on the true components; raising max_iter "
+            "will NOT help. Re-run with mode='minlabel' for these inputs.",
+            RuntimeWarning, stacklevel=3,
+        )
+    elif not converged:
         warnings.warn(
             f"connected_components(mode='star'): not converged after "
             f"max_iter={max_iter} rounds; labels are an upper bound on the "

@@ -177,6 +177,17 @@ class _ShardedStats(Mapping):
         )
 
 
+
+def _overlay_buckets(base, changes: dict) -> "Mapping | dict":
+    """New bucket->files mapping with ``changes`` applied: an overlay VIEW
+    on a sharded base (untouched buckets stay unloaded shard references) or
+    a plain merged dict otherwise. Every commit builder routes through this
+    so the O(touched)-metadata property cannot be lost on one path."""
+    if isinstance(base, _ShardedBuckets):
+        return base.updated(changes)
+    return {**base, **changes}
+
+
 # key-column types whose values survive a JSON round-trip AND whose Python
 # ordering equals Spark's (str: UTF-8 byte order == code-point order; ints
 # exact) — the precondition for recording per-file key-range stats
@@ -1365,9 +1376,11 @@ class SnapshotTable:
         The caller must compute it with this table's ``bucket_expr()`` over
         key values that are ALREADY the table's key types (a conform-cast
         that changed a key value would move the row to a different bucket
-        than the hint promised); a defensive post-write check still catches
-        a wrong hint (unregistered-bucket output fails the commit instead of
-        silently dropping rows).
+        than the hint promised); a wrong hint always fails LOUDLY — the
+        stats-path probe aborts pre-write when source rows hash outside the
+        hint (they could not have joined their target files), and the
+        stats-less path's post-write stray-dir check fails the commit
+        (unregistered-bucket output) instead of silently dropping rows.
         """
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -1615,6 +1628,24 @@ class SnapshotTable:
             .collect()
         )
         affected = sorted({r["_bucket"] for r in probe})
+        # wrong-hint guard (stats path): the ranges relation above was
+        # restricted to the hinted buckets, so a source row hashing OUTSIDE
+        # the hint would never join its existing target file — the key
+        # would silently re-insert next to the carried original. The
+        # post-write stray-dir check cannot trip for it (the left-outer
+        # probe still registers the bucket), so the violation must abort
+        # HERE, before any data is written. The hint contract is exactness.
+        if source_buckets is not None:
+            hinted = {int(x) for x in source_buckets}
+            extra = [b for b in affected if b not in hinted]
+            if extra:
+                raise ValueError(
+                    f"source_buckets hint {sorted(hinted)} missed source "
+                    f"rows hashing to buckets {extra}; a merge under a "
+                    f"wrong hint would duplicate keys — aborting before "
+                    f"the write (recompute the hint over the EXACT key "
+                    f"values being merged, post-cast)"
+                )
         touched = {r["_file"] for r in probe if r["_file"] is not None}
         for b in affected:  # stat-less files: unprunable, always rewritten
             touched.update(
@@ -1745,9 +1776,7 @@ class SnapshotTable:
                 changes[bs] = carried + written[bs]
         # overlay view: untouched buckets carry forward by shard reference —
         # never loaded, never re-serialized (commit cost O(touched))
-        new_buckets = (base.updated(changes)
-                       if isinstance(base, _ShardedBuckets)
-                       else {**base, **changes})
+        new_buckets = _overlay_buckets(base, changes)
         new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
 
         commits = dict(m["commits"])
@@ -2014,9 +2043,7 @@ class SnapshotTable:
             carried = [f for f in base.get(bs, []) if f not in cand]
             n_carried += len(carried)
             changes[bs] = carried + written[bs]
-        new_buckets = (base.updated(changes)
-                       if isinstance(base, _ShardedBuckets)
-                       else {**base, **changes})
+        new_buckets = _overlay_buckets(base, changes)
         new_stats = self._collect_file_stats(spark, out_dir, data_rel, schema)
         removed_total = int(sum(per_bucket.values()))
         metrics = {"retention_delete": condition,
@@ -2065,14 +2092,14 @@ class SnapshotTable:
         removed = 0
         # manifest shards age out with the versions that reference them —
         # a time-travel read past the keep window raises the same clear
-        # "vacuumed" error its data files would
+        # "vacuumed" error its data files would. Counted separately: the
+        # return value is DATA files per the documented contract.
         sdir = os.path.join(self.path, "shards")
         if os.path.isdir(sdir):
             for fn in sorted(os.listdir(sdir)):
                 rel = f"shards/{fn}"
                 if fn.endswith(".json") and rel not in keep_shards:
                     os.unlink(os.path.join(sdir, fn))
-                    removed += 1
         for entry in sorted(os.listdir(self.path)):
             if not entry.startswith(("data-v", "delta-v")):
                 continue
@@ -2151,9 +2178,7 @@ class SnapshotTable:
         self._write_bucketed(df, out_dir, len(affected))
         written = self._list_written_buckets(out_dir, data_rel, affected)
         base = m["buckets"]
-        new_buckets = (base.updated(written)
-                       if isinstance(base, _ShardedBuckets)
-                       else {**base, **written})
+        new_buckets = _overlay_buckets(base, written)
         new_deltas = {
             b: fs for b, fs in deltas.items() if int(b) not in set(affected)
         }

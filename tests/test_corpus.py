@@ -260,11 +260,14 @@ def test_export_corpus_byte_shards_bounded_under_skew(spark, tmp_path):
     from nostr_data_pipeline_spark.operators.corpus import export_corpus
 
     # 60 skinny docs (~40 B) + 40 wide docs (~4 kB), interleaved by id so
-    # wide ones don't cluster; deterministic synthetic text
+    # wide ones don't cluster; deterministic synthetic text. One NULL-text
+    # row rides along: it must land in a normal shard (0 bytes), never in
+    # a shard=__HIVE_DEFAULT_PARTITION__ directory
     rows = []
     for i in range(100):
         width = 4000 if i % 5 == 0 or i % 5 == 3 else 40
-        rows.append((i, "en" if i % 2 == 0 else "fr", "x" * width))
+        text = None if i == 42 else "x" * width
+        rows.append((i, "en" if i % 2 == 0 else "fr", text))
     d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     out = str(tmp_path / "bexport")
     target = 16_000
@@ -274,6 +277,11 @@ def test_export_corpus_byte_shards_bounded_under_skew(spark, tmp_path):
     # layout gained a shard= level; splits/langs still partition the tree
     assert {p for p in os.listdir(out) if p.startswith("split=")} \
         == {"split=train", "split=val"}
+    # the NULL-text row exported into a real numbered shard
+    nrow = got.filter("doc_id = 42").collect()
+    assert len(nrow) == 1 and nrow[0]["shard"] is not None
+    for root, dirs, _files in os.walk(out):
+        assert "shard=__HIVE_DEFAULT_PARTITION__" not in dirs
 
     per_shard = got.groupBy("split", "lang", "shard").agg(
         F.sum(F.octet_length("text")).alias("bytes")).collect()

@@ -591,6 +591,29 @@ def test_read_key_prefix_pruning(spark, tmp_path):
     assert got == exp and len(got) == 10
 
 
+def test_wrong_source_buckets_hint_aborts_before_write(spark, tmp_path):
+    """On a stats-backed table the probe's file-range relation is restricted
+    to the HINTED buckets, so a wrong hint would silently re-insert a key
+    next to its carried original (the post-write stray-dir check cannot see
+    it — the probe registers the bucket anyway). The merge must abort
+    pre-write instead, leaving the table untouched."""
+    t = _load(spark, tmp_path, n=80, target_file_rows=10, num_buckets=8)
+    [real_b] = t.buckets_for_keys(spark, [("r", "p0007")])
+    wrong = [(real_b + 1) % 8]
+    v0 = t.current_version()
+    with pytest.raises(ValueError, match="missed source rows"):
+        t.merge(spark, _df(spark, [("r", "p0007", "UPDATED", 99, "e99")]),
+                source_buckets=wrong)
+    assert t.current_version() == v0  # nothing committed
+    got = t.read(spark).filter("path = 'p0007'").collect()
+    assert len(got) == 1 and got[0]["content"] == "v1-7"  # no duplicate key
+    # and the CORRECT hint still merges cleanly
+    t.merge(spark, _df(spark, [("r", "p0007", "UPDATED", 99, "e99")]),
+            source_buckets=[real_b])
+    got = t.read(spark).filter("path = 'p0007'").collect()
+    assert len(got) == 1 and got[0]["content"] == "UPDATED"
+
+
 def test_point_read_wide_fanout_analyzes(spark, tmp_path):
     """read_keys with a 4-digit probe list must not overflow the Catalyst
     analyzer: a left-deep OR chain of ~1000 per-key conjunctions threw
