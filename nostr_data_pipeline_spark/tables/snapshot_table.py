@@ -408,8 +408,13 @@ class SnapshotTable:
                 if s is not None:
                     stats[f] = s
             content = {"files": files, "stats": stats}
-            if (touched is None and pe is not None
-                    and self._load_shard(pe["path"]) == content):
+            # byte-identical content reuses the parent shard on EVERY path
+            # (the parent is already loaded for carried stats, so this is a
+            # dict compare, not extra I/O): a stats-less MoR trickle commit
+            # rebuilds exactly the parent's content for each written bucket
+            # — without this check it would write+fsync a garbage twin
+            # shard per bucket per commit on the hot ingest path
+            if pe is not None and self._load_shard(pe["path"]) == content:
                 shard_map[b] = pe
                 continue
             rel = f"shards/shard-b{b}-{uuid.uuid4().hex[:12]}.json"
@@ -441,6 +446,15 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, mp)
+        # persistence barrier: the manifest's directory entry must be
+        # durable BEFORE the pointer rename — two renames are separate
+        # directory updates with no ordering guarantee, so a power loss
+        # could otherwise persist _VERSION=N while manifest-vN vanishes
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex}"
         with open(vtmp, "w") as f:
             f.write(str(v))
@@ -759,7 +773,11 @@ class SnapshotTable:
             except Exception:
                 return None
         if quoted is not None:
-            return quoted if type_name == "string" else None
+            # undo the SQL doubled-quote escape the filter's own parser
+            # undoes: the bound must be the VALUE, not the source text —
+            # comparing "a''b" against stored "a'b" bounds would wrongly
+            # prune files that hold matching rows
+            return quoted.replace("''", "'") if type_name == "string" else None
         try:
             return int(lit)
         except ValueError:
@@ -1267,11 +1285,22 @@ class SnapshotTable:
         new_full = self.manifest(to_version)
         old_b, new_b = old_full["buckets"], new_full["buckets"]
         od, nd = self._deltas_of(old_full), self._deltas_of(new_full)
+        osh = old_full.get("bucket_shards") or {}
+        nsh = new_full.get("bucket_shards") or {}
+
+        def base_differs(b: str) -> bool:
+            # shards are immutable: an identical shard entry carried forward
+            # proves identical content WITHOUT loading either shard — the
+            # common case after a trickle commit is num_buckets-1 such hits
+            oe = osh.get(b)
+            if oe is not None and oe == nsh.get(b):
+                return False
+            return old_b.get(b, []) != new_b.get(b, [])
+
         return sorted(
             int(b)
             for b in set(old_b) | set(new_b) | set(od) | set(nd)
-            if old_b.get(b, []) != new_b.get(b, [])
-            or od.get(b, []) != nd.get(b, [])
+            if base_differs(b) or od.get(b, []) != nd.get(b, [])
         )
 
     def evolve_column(self, name: str, spark_type: str, add_seq: int) -> bool:
@@ -1321,6 +1350,11 @@ class SnapshotTable:
         source_buckets: list[int] | None = None,
     ) -> dict[str, Any]:
         """MERGE a LWW-resolved source (exactly one row per key) into the table.
+
+        Source rows with a NULL key component are EXCLUDED (unmergeable by
+        definition — they could never match a prior version, so keeping
+        them would re-insert a duplicate per merge); the CDC replayer
+        counts them upstream (``resolve_lww`` ``null_key_groups``).
 
         ``merge_mode`` picks the physical strategy per call (Iceberg's
         ``write.merge.mode`` analogue):
@@ -1405,6 +1439,20 @@ class SnapshotTable:
             if f.name not in src.columns:
                 src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
         src = src.select([F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+
+        # rows with a NULL key component are unmergeable by definition: the
+        # join on key equality is null-unsafe, so such a row could never
+        # match its prior version and would re-insert a duplicate on EVERY
+        # merge (and a null-key delta row would never resolve against base).
+        # The replayer surfaces their count upstream (resolve_lww
+        # null_key_groups) and its winner join-back already excludes them;
+        # direct callers get the same documented exclusion here. The filter
+        # fuses into the source scan — no extra job.
+        null_key = None
+        for k in self.key_cols:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        src = src.filter(~null_key)
 
         src = src.withColumn("_bucket", self.bucket_expr())
         if merge_mode == "mor":
@@ -2080,12 +2128,18 @@ class SnapshotTable:
         for v in range(max(1, cur - keep_versions + 1), cur + 1):
             try:
                 mf = self.manifest(v)
-            except FileNotFoundError:
+                # the bucket view loads shards lazily — a version whose
+                # shards were already reclaimed (keep_versions RAISED after
+                # a prior vacuum) raises mid-iteration; that version is
+                # unreadable, so its exclusive files are unreachable and
+                # skipping it is correct (partial keep adds are harmless:
+                # keeping more is always safe)
+                for fs in mf["buckets"].values():
+                    keep.update(fs)
+                for fs in self._deltas_of(mf).values():
+                    keep.update(fs)
+            except (FileNotFoundError, ValueError):
                 continue
-            for fs in mf["buckets"].values():
-                keep.update(fs)
-            for fs in self._deltas_of(mf).values():
-                keep.update(fs)
             keep_shards.update(
                 e["path"] for e in mf.get("bucket_shards", {}).values()
             )
@@ -2153,12 +2207,21 @@ class SnapshotTable:
         # a bucket qualifies on total (base + delta) file count, and ANY
         # bucket holding deltas qualifies unconditionally — folding deltas
         # back into resolved base files is compaction's whole job for a
-        # merge-on-read table (the LSM level merge)
+        # merge-on-read table (the LSM level merge). File counts come from
+        # the shard map's per-bucket 'n' when sharded, so qualification
+        # (fold_deltas runs it on the streaming periodic-fold path) loads
+        # ZERO shards for unqualified buckets.
+        shard_map = m.get("bucket_shards") or {}
+
+        def _n_base(b: str) -> int:
+            e = shard_map.get(b)
+            return e["n"] if e is not None else len(m["buckets"].get(b, []))
+
         affected = sorted(
             int(b)
             for b in set(m["buckets"]) | set(deltas)
             if deltas.get(b)
-            or len(m["buckets"].get(b, [])) + len(deltas.get(b, [])) >= min_files
+            or _n_base(b) + len(deltas.get(b, [])) >= min_files
         )
         if not affected:
             return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}

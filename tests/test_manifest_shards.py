@@ -171,6 +171,43 @@ def test_untouched_buckets_carry_shards_by_reference(spark, tmp_path):
     assert t.read(spark).filter("path = 'p00003'").first()["name"] == "v2"
 
 
+def test_stats_less_mor_trickle_reuses_identical_shards(spark, tmp_path):
+    """A trickle MoR commit (below the delta stats threshold) rebuilds
+    byte-identical shard content for each written bucket — it must REUSE the
+    parent shard by path instead of fsyncing a garbage twin per bucket per
+    commit on the hot ingest path."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=8,
+                      target_file_rows=50)
+    t.create(SCHEMA)
+    t.merge(spark, _df(spark, _rows(200)))
+    m1 = json.load(open(t._manifest_path(t.current_version())))
+    shards_before = set(os.listdir(os.path.join(t.path, "shards")))
+    t.merge(spark, _df(spark, [("r", "p00003", "v2", None, 999, "e2")]),
+            merge_mode="mor")
+    m2 = json.load(open(t._manifest_path(t.current_version())))
+    assert m2["bucket_shards"] == m1["bucket_shards"]  # all carried by path
+    assert set(os.listdir(os.path.join(t.path, "shards"))) == shards_before
+    # and the resolved read still sees the delta
+    assert t.read(spark).filter("path = 'p00003'").first()["name"] == "v2"
+
+
+def test_vacuum_survives_raised_keep_window(spark, tmp_path):
+    """vacuum(keep_versions=K) after an earlier vacuum already reclaimed the
+    shards of versions inside the new, larger window must skip those
+    unreadable versions instead of crashing on the lazy shard load."""
+    t = SnapshotTable(str(tmp_path / "t"), num_buckets=4,
+                      target_file_rows=50)
+    t.create(SCHEMA)
+    for i in range(5):
+        t.merge(spark, _df(spark, [("r", f"p{i:05d}", f"n{i}", None,
+                                    i + 1, f"e{i}")]))
+    t.vacuum(keep_versions=1)
+    # widen the window past versions whose shards are gone
+    removed = t.vacuum(keep_versions=4)
+    assert removed >= 0  # no crash
+    assert t.read(spark).count() == 5  # current version intact
+
+
 def test_legacy_manifest_upgrades_through_data_merge(spark, tmp_path):
     """A DATA commit (CoW merge with a touched-bucket set) against a legacy
     inline manifest must also upgrade it: the touched-carry logic cannot
