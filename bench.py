@@ -277,6 +277,9 @@ def main() -> None:
         # round-4 corpus-hygiene additions: the broadcast-decontaminate and
         # hash-group packer are the two new distinct plan shapes
         "corpus_decontaminate", "pack_sequences", "pii_scrub",
+        # round 5: paragraph-level exact dedup (narrow-hash decision rows,
+        # two text moves) — new plan shape, keep it timed
+        "paragraph_dedup",
     ]
     # untimed warm-up: JVM codegen + python workers (not any query's cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000).count()

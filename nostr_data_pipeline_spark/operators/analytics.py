@@ -1919,3 +1919,10 @@ _TAIL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "w4_running_total": (w4_running_total, W4_SQL),
 }
 QUERIES.update(_TAIL_QUERIES)
+
+# round-5 corpus addition (paragraph-level exact dedup) — tail-registered so
+# the pinned 50-entry driver window stays byte-identical; verified by the
+# local parity sweep (test_oracle_parity.py) + tests/test_corpus.py
+from nostr_data_pipeline_spark.operators.corpus import CORPUS_TAIL_QUERIES  # noqa: E402
+
+QUERIES.update(CORPUS_TAIL_QUERIES)

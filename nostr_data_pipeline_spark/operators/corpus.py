@@ -327,6 +327,83 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return df.select(*cols, scrubbed.alias("scrubbed"))
 
 
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n",
+                     min_chars: int = 20,
+                     normalize: bool = True) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet / RefinedWeb line-dedup rule):
+    a paragraph that appears in more than one place corpus-wide is kept only
+    at its FIRST occurrence (ordered by ``(id, position)``) and removed
+    everywhere else; documents are reassembled without the dropped
+    paragraphs. Boilerplate (nav bars, cookie banners, license footers) is
+    exactly this shape — identical lines repeated across millions of pages
+    that doc-level near-dup never catches.
+
+    Matching is on the ``normalize``-d paragraph (lowercase + trim);
+    paragraphs shorter than ``min_chars`` normalized chars are exempt
+    (never deduped — short lines like headings repeat legitimately).
+    ``NULL`` text is treated as empty: the document survives with
+    ``text_dedup = ''`` rather than vanishing from the output.
+
+    Scale shape: the dedup DECISION moves only narrow rows — (id, pos,
+    sha2(paragraph)) — so the corpus-wide shuffle on the paragraph hash is
+    ~48 bytes/row, and the viral-boilerplate key (one paragraph on 10⁹
+    pages) is absorbed by map-side partial aggregation (``min`` combines
+    locally before the shuffle; no single reducer sees the raw multiplicity).
+    Paragraph text moves exactly twice: once through the (id, pos) anti-join
+    against the drop list (unique keys — skew-free) and once through the
+    per-document reassembly groupBy. Output: (id, text_dedup,
+    n_paras_kept, n_paras_dropped).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(text, sep)).alias("pos", "para"),
+    )
+    norm = F.trim(F.lower(F.col("para"))) if normalize else F.col("para")
+    # narrow decision rows: only hash + coordinates shuffle, never text
+    narrow = (
+        paras.where(F.length(norm) >= min_chars)
+        .select(F.col(id_col), "pos", F.sha2(norm, 256).alias("h"))
+    )
+    first = narrow.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    drops = (
+        narrow.join(first, "h")
+        .where(
+            (F.col(id_col) != F.col("first")[id_col])
+            | (F.col("pos") != F.col("first")["pos"])
+        )
+        .select(id_col, "pos")
+    )
+    kept = paras.join(drops, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("long").alias("n_paras_kept"),
+    )
+    # left join from the source so a doc whose EVERY paragraph dropped
+    # still comes out (empty text), and n_dropped = original - kept
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(text, sep)).cast("long").alias("n_paras"),
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("long")
+        .alias("n_paras_kept"),
+        (F.col("n_paras") - F.coalesce(F.col("n_paras_kept"), F.lit(0)))
+        .cast("long").alias("n_paras_dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -538,10 +615,89 @@ ORDER BY doc_id
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """The synthetic docs are single-line, so the contract query PLANTS
+    paragraph structure first (mirroring how pii_scrub plants spans): every
+    doc gains a global boilerplate paragraph (kept only on doc 0), docs with
+    doc_id % 3 == 0 a second one, and docs with doc_id % 5 == 0 a short
+    'ok' line that sits under min_chars and must never dedup."""
+    from nostr_data_pipeline_spark.operators.analytics import load
+
+    d = load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    t = F.concat(
+        F.col("text"), nl,
+        F.lit("subscribe to our newsletter for the latest updates today"),
+    )
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(t, nl,
+                 F.lit("copyright example corp all rights reserved worldwide")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(t, nl, F.lit("ok"))
+    ).otherwise(t)
+    return dedup_paragraphs(
+        d.select("doc_id", t.alias("text")), min_chars=20
+    ).orderBy("doc_id")
+
+
+PARAGRAPH_DEDUP_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN t2 || chr(10) || 'ok' ELSE t2 END AS text
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN t1 || chr(10) || 'copyright example corp all rights reserved worldwide'
+                ELSE t1 END AS t2
+    FROM (
+      SELECT doc_id,
+             text || chr(10) || 'subscribe to our newsletter for the latest updates today' AS t1
+      FROM documents
+    )
+  )
+), paras AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS para,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM planted
+), ranked AS (
+  SELECT doc_id, pos, para,
+         length(trim(lower(para))) AS nlen,
+         row_number() OVER (PARTITION BY trim(lower(para))
+                            ORDER BY doc_id, pos) AS rn
+  FROM paras
+), kept AS (
+  SELECT doc_id, pos, para FROM ranked WHERE nlen < 20 OR rn = 1
+), agg AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id,
+       coalesce(a.text_dedup, '') AS text_dedup,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_paras_kept,
+       CAST(p.n_paras - coalesce(a.n_kept, 0) AS BIGINT) AS n_paras_dropped
+FROM (SELECT doc_id, len(string_split(text, chr(10))) AS n_paras
+      FROM planted) p
+LEFT JOIN agg a USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
 CORPUS_QUERIES = {
     "corpus_decontaminate": (q_corpus_decontaminate, CORPUS_DECONTAMINATE_SQL),
     "corpus_mix_budget": (q_corpus_mix_budget, CORPUS_MIX_BUDGET_SQL),
     "gopher_repetition": (q_gopher_repetition, GOPHER_REPETITION_SQL),
     "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
     "pii_scrub": (q_pii_scrub, _pii_sql()),
+}
+
+# registered OUTSIDE the driver's 50-entry correctness window (appended to
+# analytics._TAIL_QUERIES): a round-5 addition must not displace the pinned
+# in-window contract set. Covered by the local DuckDB parity sweep + pytest.
+CORPUS_TAIL_QUERIES = {
+    "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
 }

@@ -306,3 +306,51 @@ def test_export_corpus_byte_shards_bounded_under_skew(spark, tmp_path):
     b = sorted(tuple(r) for r in spark.read.parquet(again)
                .select("doc_id", "split", "shard").collect())
     assert a == b
+
+
+def test_dedup_paragraphs_hand_example(spark):
+    from nostr_data_pipeline_spark.operators.corpus import dedup_paragraphs
+
+    boiler = "subscribe to our newsletter today"
+    d = _docs(spark, [
+        (1, f"unique opening paragraph one\n{boiler}\nok"),
+        (2, f"{boiler}\nanother unique paragraph here today"),
+        # case/whitespace variant of the boilerplate: normalized match
+        (3, f"  {boiler.upper()}  \nthird unique paragraph right here"),
+        # doc of ONLY duplicate paragraphs must survive with empty text
+        (4, boiler),
+        (5, None),  # NULL text must not vanish
+    ])
+    got = {r["doc_id"]: r for r in dedup_paragraphs(d, min_chars=20).collect()}
+    assert len(got) == 5
+    # first occurrence (lowest (id, pos)) keeps the boilerplate
+    assert got[1]["text_dedup"] == f"unique opening paragraph one\n{boiler}\nok"
+    assert got[1]["n_paras_dropped"] == 0
+    # later occurrences drop it but keep their own paragraphs in order
+    assert got[2]["text_dedup"] == "another unique paragraph here today"
+    assert got[2]["n_paras_kept"] == 1 and got[2]["n_paras_dropped"] == 1
+    assert got[3]["text_dedup"] == "third unique paragraph right here"
+    assert got[4]["text_dedup"] == "" and got[4]["n_paras_dropped"] == 1
+    assert got[5]["text_dedup"] == "" and got[5]["n_paras_kept"] == 1
+
+
+def test_dedup_paragraphs_short_lines_exempt(spark):
+    from nostr_data_pipeline_spark.operators.corpus import dedup_paragraphs
+
+    # 'ok' repeats in every doc but sits under min_chars: never deduped
+    d = _docs(spark, [
+        (1, "first long unique paragraph content\nok"),
+        (2, "second long unique paragraph content\nok"),
+    ])
+    got = {r["doc_id"]: r for r in dedup_paragraphs(d, min_chars=20).collect()}
+    assert got[1]["n_paras_dropped"] == 0
+    assert got[2]["n_paras_dropped"] == 0
+    assert got[2]["text_dedup"].endswith("\nok")
+
+
+def test_dedup_paragraphs_no_python_udf(spark):
+    from nostr_data_pipeline_spark.operators.corpus import dedup_paragraphs
+
+    d = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta\nok")])
+    plan = dedup_paragraphs(d)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
