@@ -244,6 +244,7 @@ def run_scan_control(n_lo: int, n_hi: int, cores: int, log_dir: str) -> dict:
     env = dict(os.environ, PYTHONPATH=repo)
     out = {}
     for n in (n_lo, n_hi):
+        _touch_pages(log_dir)  # lo's full scan would warm hi's read otherwise
         proc = subprocess.run(
             [sys.executable, "-c", SCAN_WORKER, str(n), str(cores), log_dir],
             capture_output=True, text=True, env=env, timeout=900,
@@ -260,6 +261,7 @@ def run_scan_control(n_lo: int, n_hi: int, cores: int, log_dir: str) -> dict:
 def run_at(n_exec: int, cores: int, log_dir: str, delivered: int) -> dict:
     out_dir = tempfile.mkdtemp(prefix=f"scale{n_exec}x{cores}-")
     try:
+        _touch_pages(log_dir)  # interleaved trials must not mix cache states
         repo = os.path.dirname(os.path.abspath(__file__))
         env = dict(os.environ, PYTHONPATH=repo)
         proc = subprocess.run(

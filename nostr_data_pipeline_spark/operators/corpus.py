@@ -343,7 +343,10 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     paragraphs shorter than ``min_chars`` normalized chars are exempt
     (never deduped — short lines like headings repeat legitimately).
     ``NULL`` text is treated as empty: the document survives with
-    ``text_dedup = ''`` rather than vanishing from the output.
+    ``text_dedup = ''`` rather than vanishing from the output (empty text
+    splits to ONE empty paragraph, so such a row reports
+    ``n_paras_kept = 1, n_paras_dropped = 0`` — an oracle replicating this
+    operator must ``coalesce(text, '')`` before splitting).
 
     Scale shape: the dedup DECISION moves only narrow rows — (id, pos,
     sha2(paragraph)) — so the corpus-wide shuffle on the paragraph hash is
@@ -356,9 +359,14 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     n_paras_kept, n_paras_dropped).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
+    # sep is a LITERAL separator, but F.split interprets its pattern as a
+    # Java regex while F.array_join joins literally — an unquoted metachar
+    # separator ('|', '.') would split per character and reassemble
+    # garbage. Quote it (Pattern.quote's \Q...\E algorithm).
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(text, sep)).alias("pos", "para"),
+        F.posexplode(F.split(text, sep_re)).alias("pos", "para"),
     )
     norm = F.trim(F.lower(F.col("para"))) if normalize else F.col("para")
     # narrow decision rows: only hash + coordinates shuffle, never text
@@ -392,7 +400,7 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     # still comes out (empty text), and n_dropped = original - kept
     base = df.select(
         F.col(id_col),
-        F.size(F.split(text, sep)).cast("long").alias("n_paras"),
+        F.size(F.split(text, sep_re)).cast("long").alias("n_paras"),
     )
     return base.join(agg, id_col, "left").select(
         F.col(id_col),
@@ -625,8 +633,12 @@ def q_paragraph_dedup(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     nl = F.lit("\n")
+    # coalesce BEFORE concat: F.concat propagates NULL, and the DuckDB
+    # oracle's || does too but then string_split(NULL) yields ZERO rows
+    # where the operator's internal coalesce yields one empty paragraph —
+    # a NULL-text doc would hash-mismatch. Plant over '' on both sides.
     t = F.concat(
-        F.col("text"), nl,
+        F.coalesce(F.col("text"), F.lit("")), nl,
         F.lit("subscribe to our newsletter for the latest updates today"),
     )
     t = F.when(
@@ -653,7 +665,7 @@ WITH planted AS (
                 ELSE t1 END AS t2
     FROM (
       SELECT doc_id,
-             text || chr(10) || 'subscribe to our newsletter for the latest updates today' AS t1
+             coalesce(text, '') || chr(10) || 'subscribe to our newsletter for the latest updates today' AS t1
       FROM documents
     )
   )

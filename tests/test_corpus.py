@@ -348,6 +348,55 @@ def test_dedup_paragraphs_short_lines_exempt(spark):
     assert got[2]["text_dedup"].endswith("\nok")
 
 
+def test_dedup_paragraphs_metachar_separator(spark):
+    """sep feeds F.split (Java regex) but F.array_join (literal): an
+    unquoted '|' separator split per character and reassembled garbage."""
+    from nostr_data_pipeline_spark.operators.corpus import dedup_paragraphs
+
+    boiler = "subscribe to our newsletter today"
+    d = _docs(spark, [
+        (1, f"unique opening paragraph one|{boiler}"),
+        (2, f"{boiler}|another unique paragraph here today"),
+    ])
+    got = {r["doc_id"]: r for r in
+           dedup_paragraphs(d, sep="|", min_chars=20).collect()}
+    assert got[1]["text_dedup"] == f"unique opening paragraph one|{boiler}"
+    assert got[1]["n_paras_kept"] == 2 and got[1]["n_paras_dropped"] == 0
+    assert got[2]["text_dedup"] == "another unique paragraph here today"
+    assert got[2]["n_paras_kept"] == 1 and got[2]["n_paras_dropped"] == 1
+    # '.' is the nastiest metachar (matches everything): must round-trip too
+    d2 = _docs(spark, [(7, "alpha beta gamma delta epsilon.ok")])
+    r = dedup_paragraphs(d2, sep=".", min_chars=20).collect()[0]
+    assert r["text_dedup"] == "alpha beta gamma delta epsilon.ok"
+    assert r["n_paras_kept"] == 2
+
+
+def test_paragraph_dedup_oracle_survives_null_text(spark, tmp_path):
+    """A NULL-text document must hash-match the DuckDB oracle: both sides
+    plant over coalesce(text,'') — unaligned NULL handling yields zero
+    paragraph rows in DuckDB vs one empty paragraph in Spark."""
+    import duckdb
+    import pandas as pd
+    from nostr_data_pipeline_spark.operators.corpus import (
+        PARAGRAPH_DEDUP_SQL, q_paragraph_dedup)
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    src.loc[src.index[:3], "text"] = None  # plant NULL-text rows
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    src.to_parquet(sf / "documents.parquet", index=False)
+
+    got = q_paragraph_dedup(spark, str(sf)).toPandas()
+    con = duckdb.connect()
+    con.register("documents", src)
+    want = con.execute(PARAGRAPH_DEDUP_SQL).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    for col in ("text_dedup", "n_paras_kept", "n_paras_dropped"):
+        assert list(got[col]) == list(want[col]), col
+
+
 def test_dedup_paragraphs_no_python_udf(spark):
     from nostr_data_pipeline_spark.operators.corpus import dedup_paragraphs
 
