@@ -110,6 +110,14 @@ def resolve_lww(
     broadcast ceiling to trip); ``max_broadcast_keys=None`` restores the
     forced broadcast there too."""
     from pyspark.storagelevel import StorageLevel
+    clash = {"_max_seq", "_cnt", "_salt", "_rn"} & set(df.columns)
+    if clash:
+        # the join-back/window internals would resolve ambiguously against
+        # (or silently drop) caller columns with these names — fail loudly
+        raise ValueError(
+            f"resolve_lww reserves internal column names {sorted(clash)}; "
+            "rename the input columns"
+        )
     payload = [c for c in df.columns if c not in key_cols]
     if mode in ("maxseq", "maxseq_shuffle"):
         guarded = mode == "maxseq" and max_broadcast_keys is not None
@@ -185,7 +193,13 @@ def resolve_lww(
         joined = F.broadcast(winners) if mode == "maxseq" else winners
         cand = (
             df.join(joined, list(key_cols), "inner")
-            .filter(F.col(seq_col) == F.col("_max_seq"))
+            # eqNullSafe, not ==: a group whose seq values are ALL NULL has
+            # _max_seq NULL, and a plain equality filter would silently drop
+            # every row of that key (data loss) where the 'agg' and
+            # 'salted_window' modes keep it (NULL sorts lowest in max_by /
+            # desc ordering, so the tie column decides). Mixed groups are
+            # unaffected: eqNullSafe(NULL, real_max) is false.
+            .filter(F.col(seq_col).eqNullSafe(F.col("_max_seq")))
             .drop("_max_seq", "_cnt")
         )
         if not exact_one_per_key:

@@ -34,7 +34,14 @@ def reduce_log(log: pd.DataFrame) -> pd.DataFrame:
     Columns: repo, path, commit, lang, content, content_sha256,
     last_seq, last_event_id, updated_ts, plus evolved columns.
     """
-    df = log.sort_values(["seq", "event_id"], kind="mergesort")
+    df = log.copy()
+    # engine contract: NULL seq (legal per LOG_SCHEMA for external/wire
+    # producers) means seq 0 — the earliest writer, losing to any real seq,
+    # ties broken by event_id (cdc/replayer.py normalizes identically).
+    # Without this, pandas sorts NaN LAST and a null-seq row would
+    # accidentally WIN the last-writer race here while losing it in Spark.
+    df["seq"] = df["seq"].fillna(0).astype("int64")
+    df = df.sort_values(["seq", "event_id"], kind="mergesort")
     df = df.drop_duplicates(subset=["event_id"], keep="first")
 
     # Active schema: ordered column adds/widens. Types evolve MONOTONICALLY

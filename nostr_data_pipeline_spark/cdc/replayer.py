@@ -347,10 +347,20 @@ def replay_batch(
             batch,
             no_schema_proof=bool(finfo and finfo["no_schema_events"]),
         )
-        for r in sorted(sc, key=lambda r: r["seq"]):
-            table.evolve_column(r["sc_col_name"], r["sc_col_type"], int(r["seq"]))
+        for r in sorted(sc, key=lambda r: int(r["seq"] or 0)):
+            table.evolve_column(
+                r["sc_col_name"], r["sc_col_type"], int(r["seq"] or 0)
+            )
 
         data = batch.filter(F.col("op") != "schema_change")
+        # LOG_SCHEMA allows NULL seq (external/wire producers): the engine
+        # contract defines it as seq 0 — the earliest possible writer, losing
+        # to any real seq, ties broken by event_id. Normalizing at THIS
+        # single funnel point keeps every lww mode, the seq-guarded MERGE,
+        # and the pandas oracle (reduce_log fillna(0)) in agreement.
+        data = data.withColumn(
+            "seq", F.coalesce(F.col("seq"), F.lit(0).cast("long"))
+        )
         # Two metric regimes, both zero-extra-scan:
         # - GUARDED (max_broadcast_keys set, the default): the broadcast-OOM
         #   guard folds into resolve_lww's winner aggregation — the winner
@@ -435,8 +445,23 @@ def replay_batch(
                     # modes without the guard count (agg / salted_window /
                     # explicit shuffle): materialize + count here; winners
                     # only, so this count is cheap — plus one narrow count
-                    # for the batch total
-                    rows_resolved = resolved.count()
+                    # for the batch total. The count must EXCLUDE null-key
+                    # winner rows: merge() filters them out before writing,
+                    # so counting them would overstate rows_resolved — and
+                    # they must surface in metrics, not vanish (same
+                    # contract the guarded path keeps via null_key_groups).
+                    nk = None
+                    for k in table.key_cols:
+                        c = F.col(k).isNull()
+                        nk = c if nk is None else (nk | c)
+                    r0 = resolved.select(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.when(nk, 1).otherwise(0)).alias("nk"),
+                    ).first()
+                    null_groups = int(r0["nk"] or 0)
+                    rows_resolved = int(r0["n"]) - null_groups
+                    if null_groups:
+                        lww_stats["null_key_groups"] = null_groups
                     rows_seen = data.count()
                     if "winners" in lww_stats:
                         lww_stats["winners"].unpersist()
@@ -560,12 +585,22 @@ def replay_log(
                          lww_mode=lww_mode, salt=salt,
                          collect_lineage=collect_lineage, merge_mode=merge_mode)
         )
+        # the 'once at the end' fold contract must hold on this path too —
+        # earlier-ingested deltas may be live even when THIS log is empty
+        _maybe_compact(spark, table, merge_mode, compact_every, done=1)
         return result
     step = max(1, (hi - lo + 1) // n_batches)
     for b in range(n_batches):
         lo_b = lo + b * step
         hi_b = hi if b == n_batches - 1 else lo + (b + 1) * step - 1
-        chunk = log.filter((F.col("seq") >= lo_b) & (F.col("seq") <= hi_b))
+        cond = (F.col("seq") >= lo_b) & (F.col("seq") <= hi_b)
+        if b == 0:
+            # NULL-seq rows (legal per LOG_SCHEMA; replay_batch normalizes
+            # them to seq 0) satisfy no range predicate — without this they
+            # would fall into NO chunk and silently vanish from multi-batch
+            # replays while a single-batch replay of the same log keeps them
+            cond = cond | F.col("seq").isNull()
+        chunk = log.filter(cond)
         result.batches.append(
             replay_batch(spark, table, chunk, stream_id, b,
                          lww_mode=lww_mode, salt=salt,

@@ -432,3 +432,164 @@ def test_resolve_lww_non_exact_mode_keeps_ties_for_mor(spark):
     )
     assert sorted(map(tuple, collapsed.collect())) == \
         sorted(map(tuple, exact.collect()))
+
+
+def _write_frame_as_log(frame, out_dir, n_files=2):
+    """Write a (possibly modified) log frame as parquet part files with the
+    generator's exact arrow schema — seq stays a NULLABLE int64."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _os.makedirs(out_dir, exist_ok=True)
+    schema = pa.schema([
+        ("event_id", pa.string()), ("seq", pa.int64()), ("op", pa.string()),
+        ("repo", pa.string()), ("path", pa.string()),
+        ("ts", pa.timestamp("us")), ("commit", pa.string()),
+        ("lang", pa.string()), ("content", pa.string()),
+        ("extra_json", pa.string()), ("sc_col_name", pa.string()),
+        ("sc_col_type", pa.string()),
+    ])
+    bounds = np.linspace(0, len(frame), n_files + 1, dtype=int)
+    for k in range(n_files):
+        part = frame.iloc[bounds[k]:bounds[k + 1]]
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+            f"{out_dir}/part-{k:04d}.parquet",
+        )
+
+
+def _null_seq_frame():
+    """A log where (a) some events of EXISTING keys carry NULL seq (contract:
+    they mean seq 0 and lose to any real writer) and (b) one brand-new key
+    has ONLY null-seq events (the event_id tie-break decides the winner)."""
+    import pandas as pd
+
+    spec = LogSpec(n_events=600, n_repos=5, paths_per_repo=8, seed=11,
+                   n_files=2)
+    df = make_log_frame(spec)
+    df["seq"] = df["seq"].astype("Int64")
+    data_idx = df.index[df["op"] == "upsert"]
+    df.loc[data_idx[:25], "seq"] = pd.NA
+    extra = pd.DataFrame({
+        "event_id": ["zznull-1", "zznull-2"],
+        "seq": pd.array([pd.NA, pd.NA], dtype="Int64"),
+        "op": ["upsert", "upsert"],
+        "repo": ["nullrepo"] * 2, "path": ["a.py"] * 2,
+        "ts": pd.to_datetime(["2024-02-01", "2024-02-02"]),
+        "commit": ["c1", "c2"], "lang": ["py"] * 2,
+        "content": ["older body", "winning body"],
+        "extra_json": [None] * 2,
+        "sc_col_name": [None] * 2, "sc_col_type": [None] * 2,
+    })
+    return pd.concat([df, extra], ignore_index=True)
+
+
+@pytest.mark.parametrize(
+    "n_batches,lww_mode",
+    [(1, "maxseq"), (4, "maxseq"), (3, "agg"), (2, "salted_window"),
+     (2, "maxseq_shuffle")],
+)
+def test_replay_null_seq_rows_match_oracle(spark, tmp_path, n_batches,
+                                           lww_mode):
+    """NULL-seq rows must neither vanish (multi-batch slicing, maxseq
+    join-back) nor win the LWW race (pandas NaN-sorts-last artifact): every
+    mode and batch split must land on the oracle's normalized state."""
+    frame = _null_seq_frame()
+    log_dir = str(tmp_path / "log")
+    _write_frame_as_log(frame, log_dir)
+    exp = reduce_log(frame)
+
+    table = SnapshotTable(str(tmp_path / "tbl"), num_buckets=4)
+    replay_log(spark, table, log_dir, n_batches=n_batches, lww_mode=lww_mode)
+    got = (table.read(spark).toPandas()
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert list(got["content_sha256"]) == list(exp["content_sha256"])
+    assert list(got["last_seq"]) == list(exp["last_seq"])
+    assert list(got["last_event_id"]) == list(exp["last_event_id"])
+    win = got[(got["repo"] == "nullrepo") & (got["path"] == "a.py")]
+    assert len(win) == 1 and win.iloc[0]["content"] == "winning body"
+    assert win.iloc[0]["last_seq"] == 0  # normalized, not NULL
+
+
+def test_resolve_lww_all_null_seq_group_kept_all_modes(spark):
+    """An all-NULL-seq key must survive resolution in EVERY mode with the
+    same winner (tie column decides) — the maxseq join-back used a plain
+    equality filter that dropped the whole group."""
+    from nostr_data_pipeline_spark.cdc.lww import resolve_lww
+
+    df = spark.createDataFrame(
+        [("r", "p", None, "e1", "old"), ("r", "p", None, "e2", "new"),
+         ("r", "q", 7, "e3", "real")],
+        "repo string, path string, seq long, event_id string, content string",
+    )
+    for mode in ("maxseq", "maxseq_shuffle", "agg", "salted_window"):
+        got = {(r["repo"], r["path"]): r["content"]
+               for r in resolve_lww(df, mode=mode).collect()}
+        assert got == {("r", "p"): "new", ("r", "q"): "real"}, mode
+
+
+def test_resolve_lww_rejects_reserved_columns(spark):
+    from nostr_data_pipeline_spark.cdc.lww import resolve_lww
+
+    df = spark.createDataFrame(
+        [("r", "p", 1, "e", 9)],
+        "repo string, path string, seq long, event_id string, _max_seq long",
+    )
+    with pytest.raises(ValueError, match="_max_seq"):
+        resolve_lww(df)
+
+
+def test_agg_mode_null_key_metrics(spark, tmp_path):
+    """agg/salted_window lack the guard job; their counted fallback must
+    still EXCLUDE null-key winners from rows_resolved (merge drops them)
+    and surface the drop — not overstate and not stay silent."""
+    import pandas as pd
+
+    from nostr_data_pipeline_spark.cdc.replayer import (
+        LOG_SCHEMA, TARGET_BASE_SCHEMA, replay_batch,
+    )
+
+    rows = pd.DataFrame({
+        "event_id": ["e1", "e2", "e3"],
+        "seq": pd.array([1, 2, 3], dtype="int64"),
+        "op": ["upsert"] * 3,
+        "repo": ["r1", None, "r1"],
+        "path": ["a", "b", "c"],
+        "ts": pd.to_datetime(["2024-01-01"] * 3),
+        "commit": ["c"] * 3, "lang": ["py"] * 3,
+        "content": ["x", "y", "z"],
+        "extra_json": [None] * 3,
+        "sc_col_name": [None] * 3, "sc_col_type": [None] * 3,
+    })
+    batch = spark.createDataFrame(rows, LOG_SCHEMA)
+    for i, mode in enumerate(("agg", "salted_window")):
+        t = SnapshotTable(str(tmp_path / f"t{i}"), num_buckets=4)
+        t.create(TARGET_BASE_SCHEMA)
+        m = replay_batch(spark, t, batch, "s", 0, lww_mode=mode)
+        assert m["rows_resolved"] == 2 and m["rows_seen"] == 3, mode
+        assert m["rows_nullkey_dropped_groups"] == 1, mode
+        assert t.read(spark).count() == 2, mode
+
+
+def test_replay_log_empty_dir_chunked_folds_deltas(spark, tmp_path):
+    """compact_every's 'once at the end' contract must hold even when the
+    multi-batch path takes the empty-log early return: deltas left by an
+    EARLIER ingest still fold."""
+    import os as _os
+
+    spec = LogSpec(n_events=200, n_repos=3, paths_per_repo=5, seed=5,
+                   n_files=2)
+    log_dir = str(tmp_path / "log")
+    write_log(log_dir, spec)
+    table = SnapshotTable(str(tmp_path / "tbl"), num_buckets=4)
+    replay_log(spark, table, log_dir, n_batches=2, merge_mode="mor")
+    assert any(table.manifest().get("deltas", {}).values())
+    empty = str(tmp_path / "empty")
+    _os.makedirs(empty)
+    replay_log(spark, table, empty, stream_id="s2", n_batches=4,
+               merge_mode="mor", compact_every=1)
+    assert not any(table.manifest().get("deltas", {}).values())
