@@ -13,7 +13,10 @@ Semantics implemented (the engine's contract):
   plus any schema-evolved columns parsed from extra_json;
 - delete: row absent from the final state;
 - schema_change at seq a: column exists for events with seq > a; type-widen
-  re-types the column; events never carry a column before its add.
+  re-types the column; events never carry a column before its add;
+- NULL seq (legal per LOG_SCHEMA for external/wire producers) means seq 0:
+  the earliest possible writer, losing to any real seq, ties broken by
+  event_id (cdc/replayer.py normalizes identically at replay_batch).
 """
 
 from __future__ import annotations
